@@ -1,0 +1,124 @@
+"""Area attention (YOLOv12's attention-centric blocks), TPU-native.
+
+Reimplements the behavior of ultralytics AAttn/ABlock/A2C2f (exercised via the
+reference backbone table, /root/reference/YOLOSegPlusPlus.py:133-135) as
+NHWC/XLA-friendly Flax modules. Attention softmax runs in float32; matmuls use
+`preferred_element_type` so the MXU accumulates in fp32 even under bfloat16.
+
+"Area" attention partitions the H*W tokens into `area` contiguous horizontal
+bands and attends within each band — a static reshape, no dynamic shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import C3k, ConvBNAct
+
+Dtype = Any
+
+
+class AAttn(nn.Module):
+    """Area attention: qkv 1x1 conv, banded softmax attention, dw7x7 positional bias."""
+
+    dim: int
+    num_heads: int
+    area: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, C = x.shape
+        hd = self.dim // self.num_heads
+        qkv = ConvBNAct(self.dim * 3, 1, act=False, dtype=self.dtype, name="qkv")(x, train)
+        v_spatial = qkv[..., 2 * self.dim:]
+
+        n = H * W
+        area = self.area if n % self.area == 0 else 1
+        tokens = qkv.reshape(B * area, n // area, 3 * self.dim)
+        q, k, v = jnp.split(tokens, 3, axis=-1)
+
+        def heads(t):  # (b, n, C) -> (b, heads, n, hd)
+            b, nn_, _ = t.shape
+            return t.reshape(b, nn_, self.num_heads, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                          preferred_element_type=jnp.float32) * (hd ** -0.5)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(B, H, W, self.dim)
+
+        pe = ConvBNAct(self.dim, 7, g=self.dim, act=False, dtype=self.dtype,
+                       name="pe")(v_spatial, train)
+        return ConvBNAct(self.dim, 1, act=False, dtype=self.dtype, name="proj")(
+            out + pe, train
+        )
+
+
+class ABlock(nn.Module):
+    """Area-attention transformer block: x + attn(x); x + mlp(x). mlp_ratio=2."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 2.0
+    area: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x + AAttn(self.dim, self.num_heads, self.area, dtype=self.dtype,
+                      name="attn")(x, train)
+        h = int(self.dim * self.mlp_ratio)
+        y = ConvBNAct(h, 1, act=True, dtype=self.dtype, name="mlp1")(x, train)
+        y = ConvBNAct(self.dim, 1, act=False, dtype=self.dtype, name="mlp2")(y, train)
+        return x + y
+
+
+class A2C2f(nn.Module):
+    """Area-attention C2f: cv1 -> n stages of (2x ABlock | C3k) -> concat -> cv2.
+
+    a2=True uses attention stages (backbone); a2=False uses C3k stages (neck).
+    residual=True adds a learnable per-channel gamma-scaled skip.
+    """
+
+    c2: int
+    n: int = 1
+    a2: bool = True
+    area: int = 1
+    residual: bool = False
+    mlp_ratio: float = 2.0
+    e: float = 0.5
+    g: int = 1
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        num_heads = max(1, c_ // 32)
+        y = ConvBNAct(c_, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y]
+        for i in range(self.n):
+            if self.a2:
+                z = ys[-1]
+                z = ABlock(c_, num_heads, self.mlp_ratio, self.area, dtype=self.dtype,
+                           name=f"m{i}_0")(z, train)
+                z = ABlock(c_, num_heads, self.mlp_ratio, self.area, dtype=self.dtype,
+                           name=f"m{i}_1")(z, train)
+            else:
+                z = C3k(c_, 2, self.shortcut, self.g, dtype=self.dtype,
+                        name=f"m{i}")(ys[-1], train)
+            ys.append(z)
+        out = ConvBNAct(self.c2, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate(ys, axis=-1), train
+        )
+        if self.a2 and self.residual:
+            gamma = self.param("gamma", lambda k: 0.01 * jnp.ones((self.c2,), jnp.float32))
+            out = x + gamma.astype(out.dtype) * out
+        return out

@@ -1,0 +1,470 @@
+"""TPU-native (NHWC, XLA-friendly) implementations of the YOLO building blocks.
+
+These re-implement, in JAX/Flax, the block *behaviors* the reference exercises
+through the `ultralytics` pip package (see /root/reference/YOLOSegPlusPlus.py:2
+imports and the backbone table at YOLOSegPlusPlus.py:124-136) plus the small
+custom decoder blocks (YOLOSegPlusPlus.py:12-88).
+
+Conventions (TPU-first, not a torch translation):
+  * activations are NHWC (XLA's preferred TPU conv layout),
+  * params are float32, compute dtype is configurable (bfloat16 for the MXU),
+  * BatchNorm runs in float32 (stats precision), activations cast back,
+  * no data-dependent Python control flow — everything traces once under jit.
+
+Parameter-count parity with the reference per-layer table is enforced by
+tests/test_param_parity.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# BatchNorm constants matching the YOLO family (torch momentum 0.03 == flax 0.97).
+BN_MOMENTUM = 0.97
+BN_EPS = 1e-3
+
+
+def autopad(k: int, p: int | None = None, d: int = 1) -> int:
+    """'same'-style padding for odd kernels (matches YOLO Conv default)."""
+    if d > 1:
+        k = d * (k - 1) + 1
+    return k // 2 if p is None else p
+
+
+class ConvBNAct(nn.Module):
+    """Conv2d (no bias) + BatchNorm + SiLU — the YOLO `Conv` block.
+
+    NHWC; grouped convs use `feature_group_count`.
+    """
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    d: int = 1
+    act: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = autopad(self.k, None, self.d)
+        x = nn.Conv(
+            features=self.c2,
+            kernel_size=(self.k, self.k),
+            strides=(self.s, self.s),
+            padding=((p, p), (p, p)),
+            feature_group_count=self.g,
+            kernel_dilation=(self.d, self.d),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x)
+        if self.act:
+            x = nn.silu(x)
+        return x.astype(self.dtype)
+
+
+class DWConv(nn.Module):
+    """Depthwise conv (groups = gcd(c1, c2)), as in ultralytics DWConv."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    d: int = 1
+    act: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        g = math.gcd(x.shape[-1], self.c2)
+        return ConvBNAct(self.c2, self.k, self.s, g=g, d=self.d, act=self.act,
+                         dtype=self.dtype, name="dw")(x, train)
+
+
+class LightConv(nn.Module):
+    """1x1 conv (no act) followed by depthwise kxk conv (act)."""
+
+    c2: int
+    k: int = 3
+    act: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBNAct(self.c2, 1, act=False, dtype=self.dtype, name="conv1")(x, train)
+        x = DWConv(self.c2, self.k, act=self.act, dtype=self.dtype, name="conv2")(x, train)
+        return x
+
+
+class GhostConv(nn.Module):
+    """Ghost convolution: primary 1x1-ish conv + cheap depthwise 5x5 expansion."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    act: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = ConvBNAct(c_, self.k, self.s, g=self.g, act=self.act, dtype=self.dtype,
+                      name="cv1")(x, train)
+        y2 = ConvBNAct(c_, 5, 1, g=c_, act=self.act, dtype=self.dtype, name="cv2")(y, train)
+        return jnp.concatenate([y, y2], axis=-1)
+
+
+class GhostBottleneck(nn.Module):
+    """Ghost bottleneck (stride 1 or 2) used inside C3Ghost."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = GhostConv(c_, 1, 1, act=True, dtype=self.dtype, name="ghost1")(x, train)
+        if self.s == 2:
+            y = DWConv(c_, self.k, self.s, act=False, dtype=self.dtype, name="dwmid")(y, train)
+        y = GhostConv(self.c2, 1, 1, act=False, dtype=self.dtype, name="ghost2")(y, train)
+        if self.s == 2:
+            sc = DWConv(x.shape[-1], self.k, self.s, act=False, dtype=self.dtype,
+                        name="sc_dw")(x, train)
+            sc = ConvBNAct(self.c2, 1, 1, act=False, dtype=self.dtype, name="sc_pw")(sc, train)
+        else:
+            sc = x if x.shape[-1] == self.c2 else 0.0
+        return y + sc
+
+
+class Bottleneck(nn.Module):
+    """Standard YOLO bottleneck: cv1 kxk -> cv2 kxk with optional residual."""
+
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    k: Tuple[int, int] = (3, 3)
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = ConvBNAct(c_, self.k[0], 1, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBNAct(self.c2, self.k[1], 1, g=self.g, dtype=self.dtype, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.c2:
+            y = x + y
+        return y
+
+
+class C2f(nn.Module):
+    """Cross-stage partial bottleneck with two convolutions (v8 C2f)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = ConvBNAct(2 * c_, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y[..., :c_], y[..., c_:]]
+        for i in range(self.n):
+            ys.append(
+                Bottleneck(c_, self.shortcut, self.g, k=(3, 3), e=1.0, dtype=self.dtype,
+                           name=f"m{i}")(ys[-1], train)
+            )
+        return ConvBNAct(self.c2, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate(ys, axis=-1), train
+        )
+
+
+class C3(nn.Module):
+    """CSP bottleneck with 3 convolutions."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    k: Tuple[int, int] = ((1, 1), (3, 3))  # bottleneck kernels; C3 default
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = ConvBNAct(c_, 1, dtype=self.dtype, name="cv1")(x, train)
+        b = ConvBNAct(c_, 1, dtype=self.dtype, name="cv2")(x, train)
+        for i in range(self.n):
+            k = self.k
+            k0 = k[0] if isinstance(k[0], int) else k[0][0]
+            k1 = k[1] if isinstance(k[1], int) else k[1][0]
+            a = Bottleneck(c_, self.shortcut, self.g, k=(k0, k1), e=1.0, dtype=self.dtype,
+                           name=f"m{i}")(a, train)
+        return ConvBNAct(self.c2, 1, dtype=self.dtype, name="cv3")(
+            jnp.concatenate([a, b], axis=-1), train
+        )
+
+
+class C3k(nn.Module):
+    """C3 variant with kxk bottleneck kernels (used when C3k2.c3k=True and in A2C2f)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    k: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return C3(self.c2, self.n, self.shortcut, self.g, self.e, k=(self.k, self.k),
+                  dtype=self.dtype, name="c3")(x, train)
+
+
+class C3Ghost(nn.Module):
+    """C3 with GhostBottleneck blocks (decoder mixing block, YOLOSegPlusPlus.py:158)."""
+
+    c2: int
+    n: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = ConvBNAct(c_, 1, dtype=self.dtype, name="cv1")(x, train)
+        b = ConvBNAct(c_, 1, dtype=self.dtype, name="cv2")(x, train)
+        for i in range(self.n):
+            a = GhostBottleneck(c_, dtype=self.dtype, name=f"m{i}")(a, train)
+        return ConvBNAct(self.c2, 1, dtype=self.dtype, name="cv3")(
+            jnp.concatenate([a, b], axis=-1), train
+        )
+
+
+class C3k2(nn.Module):
+    """v11/v12 C2f variant whose inner blocks are C3k (c3k=True) or Bottleneck."""
+
+    c2: int
+    n: int = 1
+    c3k: bool = False
+    e: float = 0.5
+    g: int = 1
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = ConvBNAct(2 * c_, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y[..., :c_], y[..., c_:]]
+        for i in range(self.n):
+            if self.c3k:
+                m = C3k(c_, 2, self.shortcut, self.g, dtype=self.dtype, name=f"m{i}")
+            else:
+                m = Bottleneck(c_, self.shortcut, self.g, k=(3, 3), e=0.5,
+                               dtype=self.dtype, name=f"m{i}")
+            ys.append(m(ys[-1], train))
+        return ConvBNAct(self.c2, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate(ys, axis=-1), train
+        )
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling (fast) — for v8/v11 family support."""
+
+    c2: int
+    k: int = 5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = x.shape[-1] // 2
+        y = ConvBNAct(c_, 1, dtype=self.dtype, name="cv1")(x, train)
+        p = self.k // 2
+        pool = lambda t: nn.max_pool(t, (self.k, self.k), strides=(1, 1),
+                                     padding=((p, p), (p, p)))
+        y1 = pool(y)
+        y2 = pool(y1)
+        y3 = pool(y2)
+        return ConvBNAct(self.c2, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate([y, y1, y2, y3], axis=-1), train
+        )
+
+
+class ECA(nn.Module):
+    """Efficient Channel Attention (YOLOSegPlusPlus.py:60-88).
+
+    Global average pool -> 1D conv (k=3) across the channel axis -> sigmoid gate.
+    """
+
+    k: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (B, H, W, C) -> channel descriptor (B, C)
+        y = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        # 1D conv over the channel axis, single in/out feature, no bias.
+        p = (self.k - 1) // 2
+        y = nn.Conv(features=1, kernel_size=(self.k,), padding=((p, p),),
+                    use_bias=False, dtype=jnp.float32, param_dtype=jnp.float32,
+                    name="conv1d")(y[..., None])[..., 0]
+        gate = jax.nn.sigmoid(y)  # (B, C)
+        return (x * gate[:, None, None, :].astype(x.dtype)).astype(self.dtype)
+
+
+class SingleLightConv(nn.Module):
+    """LightConv + 1x1 residual projection (YOLOSegPlusPlus.py:12-31)."""
+
+    c2: int
+    k: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        r = x if x.shape[-1] == self.c2 else nn.Conv(
+            self.c2, (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
+            name="residual")(x)
+        y = LightConv(self.c2, self.k, dtype=self.dtype, name="conv")(x, train)
+        return y + r
+
+
+class DoubleLightConv(nn.Module):
+    """Two stacked LightConvs + 1x1 residual projection (YOLOSegPlusPlus.py:33-58)."""
+
+    c2: int
+    k1: int = 3
+    k2: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        r = x if x.shape[-1] == self.c2 else nn.Conv(
+            self.c2, (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
+            name="residual")(x)
+        y = LightConv(self.c2, self.k1, dtype=self.dtype, name="conv_a")(x, train)
+        y = LightConv(self.c2, self.k2, dtype=self.dtype, name="conv_b")(y, train)
+        return y + r
+
+
+class ChannelAttention(nn.Module):
+    """CBAM channel attention (global pool -> 1x1 conv -> sigmoid)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        y = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        y = nn.Conv(c, (1, 1), use_bias=True, dtype=jnp.float32, name="fc")(y)
+        return (x * jax.nn.sigmoid(y).astype(x.dtype)).astype(self.dtype)
+
+
+class SpatialAttention(nn.Module):
+    """CBAM spatial attention (channel mean/max -> kxk conv -> sigmoid)."""
+
+    k: int = 7
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        mx = jnp.max(x, axis=-1, keepdims=True)
+        p = self.k // 2
+        a = nn.Conv(1, (self.k, self.k), padding=((p, p), (p, p)), use_bias=True,
+                    dtype=jnp.float32, name="conv")(jnp.concatenate([mean, mx], -1).astype(jnp.float32))
+        return (x * jax.nn.sigmoid(a).astype(x.dtype)).astype(self.dtype)
+
+
+class CBAM(nn.Module):
+    """Convolutional block attention module (imported by the reference decoder file)."""
+
+    k: int = 7
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ChannelAttention(dtype=self.dtype, name="channel")(x, train)
+        return SpatialAttention(self.k, dtype=self.dtype, name="spatial")(x, train)
+
+
+class ConvTransposeBNAct(nn.Module):
+    """ConvTranspose + optional BN + act (ultralytics ConvTranspose equivalent)."""
+
+    c2: int
+    k: int = 2
+    s: int = 2
+    bn: bool = True
+    act: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.ConvTranspose(self.c2, (self.k, self.k), strides=(self.s, self.s),
+                             padding="VALID", use_bias=not self.bn, dtype=self.dtype,
+                             param_dtype=jnp.float32, name="convt")(x)
+        if self.bn:
+            x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                             epsilon=BN_EPS, dtype=jnp.float32, name="bn")(x)
+        if self.act:
+            x = nn.silu(x)
+        return x.astype(self.dtype)
+
+
+def upsample2x(x: jax.Array, method: str = "nearest") -> jax.Array:
+    """2x spatial upsample. nearest matches torch nn.Upsample(scale_factor=2)."""
+    b, h, w, c = x.shape
+    if method == "nearest":
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return x
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method=method)
+
+
+def upsample_bilinear_torch(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """Bilinear resize matching torch's align_corners=False convention.
+
+    torch/cv2 half-pixel-center bilinear == jax.image.resize 'linear'.
+    Used by the decoder upsample (YOLOSegPlusPlus.py:155) and mask ops.
+    """
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, out_hw[0], out_hw[1], c), method="linear")
+
+
+class Proto(nn.Module):
+    """YOLO segmentation mask Proto head: conv -> 2x deconv -> conv -> 1x1 conv."""
+
+    c_: int = 256
+    c2: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBNAct(self.c_, 3, dtype=self.dtype, name="cv1")(x, train)
+        x = nn.ConvTranspose(self.c_, (2, 2), strides=(2, 2), padding="VALID",
+                             use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
+                             name="upsample")(x)
+        x = ConvBNAct(self.c_, 3, dtype=self.dtype, name="cv2")(x, train)
+        return ConvBNAct(self.c2, 1, dtype=self.dtype, name="cv3")(x, train)
