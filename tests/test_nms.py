@@ -1,0 +1,91 @@
+"""NMS keep-set parity vs canonical greedy NMS (the algorithm the reference's
+vendored torchvision-style NMS implements, /root/reference/nms.py:239-296)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from yolou_tpu.ops.nms import non_max_suppression
+
+
+def ref_greedy_nms(boxes, scores, iou_thres):
+    """Plain-python greedy NMS ground truth (desc score, suppress IoU>th)."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+
+    def iou(a, b):
+        lt = np.maximum(a[:2], b[:2])
+        rb = np.minimum(a[2:], b[2:])
+        wh = np.clip(rb - lt, 0, None)
+        inter = wh[0] * wh[1]
+        ar_a = max(a[2] - a[0], 0) * max(a[3] - a[1], 0)
+        ar_b = max(b[2] - b[0], 0) * max(b[3] - b[1], 0)
+        return inter / (ar_a + ar_b - inter + 1e-7)
+
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if not suppressed[j] and j != i and iou(boxes[i], boxes[j]) > iou_thres:
+                suppressed[j] = True
+    return keep
+
+
+def make_preds(rng, n=200, nc=1, img=640):
+    cxy = rng.uniform(50, img - 50, size=(n, 2))
+    wh = rng.uniform(10, 120, size=(n, 2))
+    cls = rng.uniform(0, 1, size=(n, nc))
+    return np.concatenate([cxy, wh, cls], axis=1).astype(np.float32)
+
+
+def test_greedy_matches_reference_keepset(rng):
+    for trial in range(5):
+        p = make_preds(rng)
+        out = non_max_suppression(jnp.asarray(p[None]), conf_thres=0.25,
+                                  iou_thres=0.45, max_det=300, method="greedy")
+        got_boxes = np.asarray(out.boxes[0])[np.asarray(out.valid[0])]
+        got_conf = np.asarray(out.conf[0])[np.asarray(out.valid[0])]
+
+        # reference: conf gate then greedy on xyxy
+        conf = p[:, 4]
+        gate = conf > 0.25
+        xyxy = np.concatenate([p[:, :2] - p[:, 2:4] / 2, p[:, :2] + p[:, 2:4] / 2], 1)
+        keep = ref_greedy_nms(xyxy[gate], conf[gate], 0.45)
+        want_boxes = xyxy[gate][keep]
+        want_conf = conf[gate][keep]
+
+        assert len(got_conf) == len(want_conf), (trial, len(got_conf), len(want_conf))
+        np.testing.assert_allclose(got_conf, want_conf, rtol=1e-6)
+        np.testing.assert_allclose(got_boxes, want_boxes, rtol=1e-5, atol=1e-4)
+
+
+def test_matrix_mode_is_subset_shaped():
+    rng = np.random.default_rng(1)
+    p = make_preds(rng, n=100)
+    out = non_max_suppression(jnp.asarray(p[None]), method="matrix")
+    assert out.boxes.shape == (1, 300, 4)
+    assert out.valid.dtype == bool
+
+
+def test_class_offset_separates_classes(rng):
+    # two boxes exactly overlapping but different classes must both survive
+    p = np.zeros((2, 4 + 2), np.float32)
+    p[:, :4] = [100, 100, 50, 50]
+    p[0, 4] = 0.9   # class 0
+    p[1, 5] = 0.8   # class 1
+    out = non_max_suppression(jnp.asarray(p[None]), nc=2)
+    assert int(out.valid.sum()) == 2
+    out_ag = non_max_suppression(jnp.asarray(p[None]), nc=2, agnostic=True)
+    assert int(out_ag.valid.sum()) == 1
+
+
+def test_extra_coefs_passthrough(rng):
+    p = make_preds(rng, n=50)
+    coefs = rng.normal(size=(50, 32)).astype(np.float32)
+    pm = np.concatenate([p, coefs], axis=1)
+    out = non_max_suppression(jnp.asarray(pm[None]), nc=1)
+    assert out.extra.shape == (1, 300, 32)
+    # highest-conf row's coefs survive intact
+    top = int(np.argmax(p[:, 4]))
+    np.testing.assert_allclose(np.asarray(out.extra[0, 0]), coefs[top], rtol=1e-6)

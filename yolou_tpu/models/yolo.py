@@ -37,7 +37,7 @@ class YoloOutputs:
     """Structured model outputs (a pytree; fields may be None)."""
 
     raw: Tuple[jax.Array, ...]        # per-level NHWC raw maps [4*reg_max | nc]
-    preds: jax.Array                  # (B, N, 4+nc[+nm]) decoded, NMS-ready
+    preds: Optional[jax.Array]        # (B, N, 4+nc[+nm]) decoded, NMS-ready
     mask_coefs: Optional[jax.Array]   # (B, N, nm) — segment task only
     protos: Optional[jax.Array]       # (B, Hm, Wm, nm) — segment task only
     taps: Dict[int, jax.Array]        # requested intermediate features
@@ -126,8 +126,12 @@ class YOLOModel(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False,
-                 taps: Sequence[int] = ()) -> YoloOutputs:
+    def __call__(self, x, train: bool = False, taps: Sequence[int] = (),
+                 stop_at: Optional[int] = None) -> YoloOutputs:
+        """Run the graph. `taps` returns intermediates by layer index;
+        `stop_at` truncates execution after layer stop_at-1 (encoder-slice
+        mode for decoder-only training — reference encoder = layers [0:5],
+        YOLOSegPlusPlus.py:150)."""
         spec = self.spec
         x = x.astype(self.dtype)
         ys: list = []
@@ -138,6 +142,8 @@ class YOLOModel(nn.Module):
 
         head_out = None
         for i, layer in enumerate(spec.layers):
+            if stop_at is not None and i >= stop_at:
+                break
             if layer.block == "Conv":
                 c2, k, s = layer.args
                 y = ConvBNAct(c2, k, s, dtype=self.dtype, name=f"model_{i}")(
@@ -187,6 +193,9 @@ class YOLOModel(nn.Module):
             if i in taps:
                 tap_out[i] = y
 
+        if head_out is None:
+            return YoloOutputs(raw=(), preds=None, mask_coefs=None, protos=None,
+                               taps=tap_out)
         raw, mc, protos = head_out
         preds = decode_detections(raw, spec.strides, spec.nc, spec.reg_max)
         if mc is not None:

@@ -1,0 +1,50 @@
+"""On-device letterbox + normalize preprocessing (fused into XLA).
+
+The reference letterboxes on host via ultralytics LetterBox inside
+BasePredictor.preprocess (SURVEY.md §3.3) and normalizes /255 on host threads.
+Here the whole path — resize (aspect-preserving), pad (114 gray), /255,
+dtype cast — is one jitted device function, per the north-star fusion goal
+(BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("new_hw", "scaleup"))
+def letterbox_batch(imgs: jax.Array, new_hw: Tuple[int, int] = (640, 640),
+                    scaleup: bool = True, pad_value: float = 114.0) -> jax.Array:
+    """Letterbox a uniform batch (B, H, W, C) uint8/float -> (B, nh, nw, C) float32 in [0,1].
+
+    All images in the batch share one source shape (BraTS slices are uniform),
+    so the scale/pad geometry is static and the op jit-compiles once.
+    """
+    b, h, w, c = imgs.shape
+    nh, nw = new_hw
+    r = min(nh / h, nw / w)
+    if not scaleup:
+        r = min(r, 1.0)
+    uh, uw = int(round(h * r)), int(round(w * r))
+    x = imgs.astype(jnp.float32)
+    if (uh, uw) != (h, w):
+        x = jax.image.resize(x, (b, uh, uw, c), method="linear")
+    top = int(round((nh - uh) / 2 - 0.1))
+    left = int(round((nw - uw) / 2 - 0.1))
+    out = jnp.full((b, nh, nw, c), pad_value, jnp.float32)
+    out = jax.lax.dynamic_update_slice(out, x, (0, top, left, 0))
+    return out / 255.0
+
+
+@partial(jax.jit, static_argnames=("size",))
+def resize_normalize(imgs: jax.Array, size: int) -> jax.Array:
+    """Square stretch-resize + /255 (the decoder dataset path, dataset.py:63-70)."""
+    b, h, w, c = imgs.shape
+    x = imgs.astype(jnp.float32)
+    if (h, w) != (size, size):
+        x = jax.image.resize(x, (b, size, size, c), method="linear")
+    return x / 255.0

@@ -103,15 +103,26 @@ def non_max_suppression(
         else:
             keep = _suppress_greedy(iou, valid, iou_thres)
         kept_score = jnp.where(keep, score_k, -1.0)
-        final_score, sel = jax.lax.top_k(kept_score, max_det)
+        md = min(max_det, k)
+        final_score, sel = jax.lax.top_k(kept_score, md)
         fvalid = final_score > 0.0
         z = fvalid.astype(p.dtype)
-        return NMSResult(
+        res = NMSResult(
             boxes=boxes_k[sel] * z[:, None],
             conf=jnp.where(fvalid, score_k[sel], 0.0),
             cls=cls_k[sel] * z,
             extra=ex_k[sel] * z[:, None],
             valid=fvalid,
         )
+        if md < max_det:
+            pad = max_det - md
+            res = NMSResult(
+                boxes=jnp.pad(res.boxes, ((0, pad), (0, 0))),
+                conf=jnp.pad(res.conf, (0, pad)),
+                cls=jnp.pad(res.cls, (0, pad)),
+                extra=jnp.pad(res.extra, ((0, pad), (0, 0))),
+                valid=jnp.pad(res.valid, (0, pad)),
+            )
+        return res
 
     return jax.vmap(single)(prediction)
