@@ -1,0 +1,178 @@
+"""v8-style detection + instance-segmentation training loss (TPU-native).
+
+Behavioral port of Customv8SegmentationLoss (/root/reference/custom_yolo_trainer/
+custom_v8_segmentation_loss.py): 4-part [box, seg, cls, dfl] loss with TAL
+assignment, CIoU + DFL box terms, BCE classification, and the reference's
+*modified* mask term — crop-normalized BCE **plus 0.8x global Tversky** per
+image (single_mask_loss, lines 124-153; upstream pure-BCE variant kept as a
+flag). Redesigned fixed-shape:
+
+  * GT padded to max-G with validity masks (no per-image Python loops,
+    cf. calculate_segmentation_loss's loop at lines 228-240),
+  * positive anchors gathered to a static top-`max_pos` set per image, so the
+    proto einsum is one batched MXU matmul.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.boxes import (bbox2dist, bbox_iou_aligned, dist2bbox, dfl_decode,
+                         make_anchors, xywh2xyxy)
+from ..ops.masks import crop_mask
+from .dice import bce_with_logits
+from .tal import task_aligned_assign
+
+
+@dataclasses.dataclass(frozen=True)
+class LossHyp:
+    box: float = 7.5
+    cls: float = 0.5
+    dfl: float = 1.5
+    tversky: float = 0.8        # reference's extra mask term weight
+    tversky_alpha: float = 0.4
+    tversky_beta: float = 0.6
+    use_tversky: bool = True    # False = upstream ultralytics pure-BCE mask loss
+
+
+class LossOutputs(NamedTuple):
+    total: jax.Array
+    parts: Dict[str, jax.Array]   # box, seg, cls, dfl (pre-gain, per-batch-mean)
+
+
+def _flatten_raw(raw: Sequence[jax.Array], nc: int, reg_max: int):
+    flat = jnp.concatenate([r.reshape(r.shape[0], -1, r.shape[-1]) for r in raw], 1)
+    return flat[..., : 4 * reg_max], flat[..., 4 * reg_max:]
+
+
+def _df_loss(pred_distri: jax.Array, target: jax.Array, reg_max: int) -> jax.Array:
+    """Distribution focal loss per anchor (mean over 4 sides). target (.., 4)."""
+    tl = jnp.floor(target).astype(jnp.int32)
+    tr = tl + 1
+    wl = tr.astype(jnp.float32) - target
+    wr = 1.0 - wl
+    logp = jax.nn.log_softmax(
+        pred_distri.reshape(*pred_distri.shape[:-1], 4, reg_max), axis=-1)
+    ce_l = -jnp.take_along_axis(logp, tl[..., None], axis=-1)[..., 0]
+    ce_r = -jnp.take_along_axis(logp, jnp.clip(tr, 0, reg_max - 1)[..., None],
+                                axis=-1)[..., 0]
+    return jnp.mean(ce_l * wl + ce_r * wr, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("nc", "reg_max", "strides", "hyp", "max_pos",
+                                   "with_masks"))
+def v8_loss(
+    raw: Tuple[jax.Array, ...],
+    mask_coefs,                  # (B, A, nm) or None
+    protos,                      # (B, Hm, Wm, nm) or None
+    targets: Dict[str, jax.Array],
+    *,
+    nc: int,
+    strides: Tuple[int, ...] = (8, 16, 32),
+    reg_max: int = 16,
+    hyp: LossHyp = LossHyp(),
+    max_pos: int = 64,
+    with_masks: bool = True,
+) -> LossOutputs:
+    """targets: cls (B,G) int, bboxes (B,G,4) xywh normalized [0,1],
+    valid (B,G) bool, masks (B,G,Hm,Wm) float instance masks at proto
+    resolution (required when with_masks)."""
+    b = raw[0].shape[0]
+    feat_shapes = tuple((r.shape[1], r.shape[2]) for r in raw)
+    imgsz_h = feat_shapes[0][0] * strides[0]
+    imgsz_w = feat_shapes[0][1] * strides[0]
+
+    pred_distri, pred_scores = _flatten_raw(raw, nc, reg_max)
+    pred_scores = pred_scores.astype(jnp.float32)
+    pred_distri = pred_distri.astype(jnp.float32)
+    anchors, stride_t = make_anchors(feat_shapes, strides, 0.5)
+
+    # decode predicted boxes (feature units then image units for assignment)
+    dist = dfl_decode(pred_distri, reg_max)
+    pred_bboxes = dist2bbox(dist, anchors[None], xywh=False)          # feat units
+
+    gt_xyxy = xywh2xyxy(targets["bboxes"]) * jnp.array(
+        [imgsz_w, imgsz_h, imgsz_w, imgsz_h], jnp.float32)            # (B,G,4) px
+    valid = targets["valid"].astype(bool)
+
+    assign = task_aligned_assign(
+        jax.nn.sigmoid(jax.lax.stop_gradient(pred_scores)),
+        jax.lax.stop_gradient(pred_bboxes) * stride_t[None],
+        anchors * stride_t,
+        targets["cls"].astype(jnp.int32), gt_xyxy, valid,
+    )
+    target_scores_sum = jnp.maximum(assign.target_scores.sum(), 1.0)
+    fg = assign.fg_mask.astype(jnp.float32)                            # (B,A)
+
+    # --- cls (BCE over all anchors) ---
+    loss_cls = bce_with_logits(pred_scores, assign.target_scores).sum() / target_scores_sum
+
+    # --- box + dfl on foreground ---
+    tb_feat = assign.target_bboxes / stride_t[None]                    # feat units
+    weight = assign.target_scores.sum(-1) * fg                         # (B,A)
+    iou = bbox_iou_aligned(pred_bboxes, tb_feat, ciou=True)
+    loss_box = jnp.sum((1.0 - iou) * weight) / target_scores_sum
+    tdist = bbox2dist(anchors[None], tb_feat, reg_max)
+    loss_dfl = jnp.sum(_df_loss(pred_distri, tdist, reg_max) * weight) / target_scores_sum
+
+    parts = {"box": loss_box, "cls": loss_cls, "dfl": loss_dfl,
+             "seg": jnp.zeros(())}
+
+    if with_masks and mask_coefs is not None:
+        hm, wm = protos.shape[1], protos.shape[2]
+        # static top-max_pos positive anchors per image
+        kpos = min(max_pos, fg.shape[1])
+        pos_score, pos_idx = jax.lax.top_k(
+            fg * (1.0 + jax.lax.stop_gradient(weight)), kpos)          # (B,K)
+        pos_valid = pos_score > 0.0
+        coefs = jnp.take_along_axis(mask_coefs.astype(jnp.float32),
+                                    pos_idx[..., None], axis=1)        # (B,K,nm)
+        gt_idx = jnp.take_along_axis(assign.target_gt_idx, pos_idx, axis=1)
+        tboxes = jnp.take_along_axis(assign.target_bboxes,
+                                     pos_idx[..., None], axis=1)       # (B,K,4) px
+        # proto einsum: (B,K,nm) x (B,Hm*Wm,nm) -> (B,K,Hm,Wm)
+        pm = jnp.einsum("bkc,bpc->bkp", coefs,
+                        protos.reshape(b, -1, protos.shape[-1]).astype(jnp.float32),
+                        preferred_element_type=jnp.float32).reshape(b, kpos, hm, wm)
+        gt_masks = jnp.take_along_axis(
+            targets["masks"].astype(jnp.float32),
+            gt_idx[..., None, None], axis=1)                           # (B,K,Hm,Wm)
+
+        # normalized boxes -> mask-pixel boxes and areas
+        norm = jnp.array([imgsz_w, imgsz_h, imgsz_w, imgsz_h], jnp.float32)
+        tb01 = tboxes / norm
+        mxyxy = tb01 * jnp.array([wm, hm, wm, hm], jnp.float32)
+        area = jnp.clip((tb01[..., 2] - tb01[..., 0]), 0) * jnp.clip(
+            (tb01[..., 3] - tb01[..., 1]), 0)                          # (B,K)
+
+        bce = bce_with_logits(pm, gt_masks)                            # (B,K,H,W)
+        bce_crop = jax.vmap(crop_mask)(bce, mxyxy)
+        bce_term = bce_crop.mean(axis=(2, 3)) / (area + 1e-8)          # (B,K)
+        bce_term = bce_term * pos_valid
+
+        if hyp.use_tversky:
+            # reference single_mask_loss: one global Tversky per image over all
+            # positive anchors; added per-anchor then summed => n_pos * tversky.
+            pv = pos_valid[..., None, None].astype(jnp.float32)
+            p = jax.nn.sigmoid(pm) * pv
+            g = gt_masks * pv
+            tp = jnp.sum(p * g, axis=(1, 2, 3))
+            fp = jnp.sum((1 - g) * p, axis=(1, 2, 3))
+            fn_ = jnp.sum(g * (1 - p), axis=(1, 2, 3))
+            smooth = 1.0
+            tv = 1.0 - (tp + smooth) / (tp + hyp.tversky_alpha * fp
+                                        + hyp.tversky_beta * fn_ + smooth)  # (B,)
+            n_pos = pos_valid.sum(axis=1).astype(jnp.float32)
+            seg_total = bce_term.sum() + jnp.sum(hyp.tversky * tv * n_pos)
+        else:
+            seg_total = bce_term.sum()
+        parts["seg"] = seg_total / jnp.maximum(fg.sum(), 1.0)
+
+    total = (parts["box"] * hyp.box + parts["seg"] * hyp.box
+             + parts["cls"] * hyp.cls + parts["dfl"] * hyp.dfl) * b
+    return LossOutputs(total=total, parts=parts)
