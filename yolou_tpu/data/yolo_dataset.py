@@ -1,0 +1,236 @@
+"""YOLO-format labeled dataset for detector/segmenter training.
+
+Host-side equivalent of CustomYOLODataset + CustomBaseDataset
+(/root/reference/custom_yolo_trainer/custom_data.py, custom_base.py): image
+discovery, polygon label parsing with a hashed npz cache, 4-channel UNCHANGED
+decode, and collation into **fixed-shape padded batches** (TPU needs static
+shapes; the reference's ragged cat-based collate_fn at custom_data.py:271-299
+becomes pad + validity mask).
+
+Augmentation runs ON DEVICE (yolou_tpu/data/augment.py); this module only
+produces raw uint8 images and per-instance masks/classes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".webp")
+
+
+def img2label_path(img_path: str) -> str:
+    sa, sb = f"{os.sep}images{os.sep}", f"{os.sep}labels{os.sep}"
+    base, _ = os.path.splitext(img_path)
+    return base.replace(sa, sb) + ".txt"
+
+
+def parse_label_file(path: str) -> List[Tuple[int, np.ndarray]]:
+    """YOLO-seg rows: `cls x1 y1 x2 y2 ...` normalized polygon (or cls+xywh box)."""
+    out = []
+    if not os.path.exists(path):
+        return out
+    with open(path) as f:
+        for line in f:
+            vals = line.split()
+            if len(vals) < 5:
+                continue
+            cls = int(float(vals[0]))
+            coords = np.asarray([float(v) for v in vals[1:]], np.float32)
+            if len(coords) == 4:  # xywh box -> rectangle polygon
+                cx, cy, w, h = coords
+                poly = np.asarray([[cx - w / 2, cy - h / 2], [cx + w / 2, cy - h / 2],
+                                   [cx + w / 2, cy + h / 2], [cx - w / 2, cy + h / 2]],
+                                  np.float32)
+            else:
+                poly = coords.reshape(-1, 2)
+            out.append((cls, poly))
+    return out
+
+
+class YoloSegDataset:
+    """Images + polygon instances, cached; items are (img_u8 HWC, cls (n,),
+    polygons list) with polygons in normalized [0,1] coords."""
+
+    def __init__(self, img_dir: str, imgsz: int = 160, channels: int = 4,
+                 cache: bool = True):
+        self.img_dir = img_dir
+        self.imgsz = imgsz
+        self.channels = channels
+        self.files = sorted(
+            os.path.join(img_dir, f) for f in os.listdir(img_dir)
+            if f.lower().endswith(IMG_EXTS))
+        if not self.files:
+            raise FileNotFoundError(f"no images in {img_dir}")
+        self.labels = self._load_labels(cache)
+
+    def _cache_path(self) -> str:
+        return os.path.join(self.img_dir, ".labels.cache.npz")
+
+    def _hash(self) -> str:
+        h = hashlib.sha1()
+        for f in self.files:
+            lp = img2label_path(f)
+            h.update(f.encode())
+            if os.path.exists(lp):
+                h.update(str(os.path.getmtime(lp)).encode())
+        return h.hexdigest()
+
+    def _load_labels(self, cache: bool):
+        cp = self._cache_path()
+        want = self._hash()
+        if cache and os.path.exists(cp):
+            try:
+                z = np.load(cp, allow_pickle=True)
+                if str(z["hash"]) == want:
+                    return list(z["labels"])
+            except Exception:
+                pass
+        labels = [parse_label_file(img2label_path(f)) for f in self.files]
+        if cache:
+            try:
+                np.savez(cp, hash=want,
+                         labels=np.asarray(labels, dtype=object))
+            except Exception:
+                pass
+        return labels
+
+    def __len__(self):
+        return len(self.files)
+
+    def load_image(self, i: int) -> np.ndarray:
+        flag = cv2.IMREAD_UNCHANGED if self.channels != 1 else cv2.IMREAD_GRAYSCALE
+        img = cv2.imread(self.files[i], flag)
+        if img is None:
+            raise IOError(self.files[i])
+        if img.ndim == 2:
+            img = img[..., None]
+        if img.shape[2] != self.channels:
+            # pad/trim channels (e.g. 3-ch source for a 4-ch model: repeat mean)
+            if img.shape[2] < self.channels:
+                extra = np.repeat(img.mean(-1, keepdims=True).astype(img.dtype),
+                                  self.channels - img.shape[2], axis=-1)
+                img = np.concatenate([img, extra], -1)
+            else:
+                img = img[..., : self.channels]
+        if img.shape[:2] != (self.imgsz, self.imgsz):
+            img = cv2.resize(img, (self.imgsz, self.imgsz),
+                             interpolation=cv2.INTER_LINEAR)
+            if img.ndim == 2:
+                img = img[..., None]
+        return img
+
+    def rasterize_instances(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-instance binary masks at imgsz: (n, S, S) uint8 + cls (n,)."""
+        s = self.imgsz
+        items = self.labels[i]
+        masks = np.zeros((len(items), s, s), np.uint8)
+        cls = np.zeros((len(items),), np.int32)
+        for j, (c, poly) in enumerate(items):
+            cls[j] = c
+            pts = np.round(poly * s).astype(np.int32)
+            cv2.fillPoly(masks[j], [pts], 1)
+        return masks, cls
+
+    def item(self, i: int) -> Dict[str, np.ndarray]:
+        img = self.load_image(i)
+        masks, cls = self.rasterize_instances(i)
+        return {"img": img, "masks": masks, "cls": cls,
+                "path": self.files[i]}
+
+
+def boxes_from_masks(masks: np.ndarray) -> np.ndarray:
+    """(n, H, W) -> (n, 4) normalized xywh from mask extents."""
+    n, h, w = masks.shape
+    out = np.zeros((n, 4), np.float32)
+    for i in range(n):
+        ys, xs = np.nonzero(masks[i])
+        if len(xs) == 0:
+            continue
+        x1, x2 = xs.min(), xs.max() + 1
+        y1, y2 = ys.min(), ys.max() + 1
+        out[i] = [(x1 + x2) / 2 / w, (y1 + y2) / 2 / h,
+                  (x2 - x1) / w, (y2 - y1) / h]
+    return out
+
+
+def collate_padded(items: List[Dict[str, np.ndarray]], max_inst: int,
+                   mask_ratio: int = 4) -> Dict[str, np.ndarray]:
+    """Stack to fixed shapes: imgs (B,S,S,C) u8, cls (B,G), bboxes (B,G,4)
+    xywh-norm, valid (B,G), masks (B,G,S/mr,S/mr) f32 (proto resolution)."""
+    b = len(items)
+    s = items[0]["img"].shape[0]
+    c = items[0]["img"].shape[2]
+    ms = s // mask_ratio
+    imgs = np.zeros((b, s, s, c), np.uint8)
+    cls = np.zeros((b, max_inst), np.int32)
+    bboxes = np.zeros((b, max_inst, 4), np.float32)
+    valid = np.zeros((b, max_inst), bool)
+    masks = np.zeros((b, max_inst, ms, ms), np.float32)
+    for i, it in enumerate(items):
+        imgs[i] = it["img"]
+        n = min(len(it["cls"]), max_inst)
+        if n:
+            cls[i, :n] = it["cls"][:n]
+            m = it["masks"][:n]
+            bboxes[i, :n] = boxes_from_masks(m)
+            valid[i, :n] = m.reshape(n, -1).any(-1)
+            for j in range(n):
+                masks[i, j] = cv2.resize(m[j], (ms, ms),
+                                         interpolation=cv2.INTER_NEAREST)
+    return {"img": imgs, "cls": cls, "bboxes": bboxes, "valid": valid,
+            "masks": masks}
+
+
+def collate_idmap(items: List[Dict[str, np.ndarray]], max_inst: int) -> Dict[str, np.ndarray]:
+    """Collate for the on-device augmentation path: overlap-encoded id maps.
+
+    Instances are written largest-area first so smaller ones overwrite
+    (ultralytics overlap_mask ordering). Returns img (B,S,S,C) u8,
+    idmap (B,S,S) i32, cls (B,G) i32, valid (B,G) bool.
+    """
+    b = len(items)
+    s = items[0]["img"].shape[0]
+    c = items[0]["img"].shape[2]
+    imgs = np.zeros((b, s, s, c), np.uint8)
+    idmap = np.zeros((b, s, s), np.int32)
+    cls = np.zeros((b, max_inst), np.int32)
+    valid = np.zeros((b, max_inst), bool)
+    for i, it in enumerate(items):
+        imgs[i] = it["img"]
+        m = it["masks"]
+        n = min(len(it["cls"]), max_inst)
+        if n == 0:
+            continue
+        areas = m[:n].reshape(n, -1).sum(-1)
+        order = np.argsort(-areas)
+        for slot, j in enumerate(order):
+            idmap[i][m[j] > 0] = slot + 1
+            cls[i, slot] = it["cls"][j]
+            valid[i, slot] = areas[j] > 0
+    return {"img": imgs, "idmap": idmap, "cls": cls, "valid": valid}
+
+
+def batches(ds: YoloSegDataset, batch_size: int, max_inst: int = 16,
+            mask_ratio: int = 4, shuffle: bool = True, seed: int = 0,
+            drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+    idx = np.arange(len(ds))
+    rng = np.random.default_rng(seed)
+    if shuffle:
+        rng.shuffle(idx)
+    for start in range(0, len(idx), batch_size):
+        chunk = idx[start:start + batch_size]
+        if len(chunk) < batch_size:
+            if drop_last:
+                return
+            chunk = np.concatenate([chunk, idx[: batch_size - len(chunk)]])
+        yield collate_padded([ds.item(int(j)) for j in chunk], max_inst,
+                             mask_ratio)
