@@ -1,0 +1,193 @@
+"""Predictor: source routing -> fused on-device preprocess/forward/NMS -> Results.
+
+Covers the reference's predictor stack (custom_yolo_predictor/*): the source
+router (custom_load_inference_source.py — files, dirs, globs, txt lists,
+numpy arrays, PIL), 4-channel UNCHANGED decode (custom_load_images_and_videos
+.py:99), BasePredictor's letterbox+normalize preprocess, and the detection/
+segmentation postprocess (custom_detseg_predictor.py:87-135, 288-313:
+NMS -> process_mask(upsample=True) -> scale_boxes -> Results, dropping
+empty-mask detections).
+
+TPU design: preprocess + forward + NMS (+ mask proto decode) compile into ONE
+XLA program; the host only decodes images and trims padded outputs.
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import os
+from functools import partial
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.yolo import YOLOModel
+from ..ops.letterbox import letterbox_batch
+from ..ops.masks import process_mask
+from ..ops.nms import non_max_suppression
+from ..ops import boxes as box_ops
+from .results import Boxes, Masks, Results
+
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".webp")
+
+Source = Union[str, np.ndarray, Sequence[Union[str, np.ndarray]]]
+
+
+def load_source(source: Source, channels: int = 4) -> List[Tuple[str, np.ndarray]]:
+    """Route any source to a list of (path, HWC uint8 image) pairs."""
+    try:
+        import cv2
+    except ImportError:  # pragma: no cover
+        cv2 = None
+
+    def read(path: str) -> np.ndarray:
+        flag = cv2.IMREAD_UNCHANGED if channels != 1 else cv2.IMREAD_GRAYSCALE
+        img = cv2.imread(path, flag)
+        if img is None:
+            raise IOError(f"cannot read {path}")
+        if img.ndim == 2:
+            img = img[..., None]
+        return img
+
+    items: List[Tuple[str, np.ndarray]] = []
+    if isinstance(source, np.ndarray):
+        arrs = source if source.ndim == 4 else source[None]
+        for i, a in enumerate(arrs):
+            items.append((f"array_{i}", np.asarray(a)))
+    elif isinstance(source, str):
+        if os.path.isdir(source):
+            for f in sorted(os.listdir(source)):
+                if f.lower().endswith(IMG_EXTS):
+                    items.append((os.path.join(source, f),
+                                  read(os.path.join(source, f))))
+        elif any(c in source for c in "*?["):
+            for f in sorted(globlib.glob(source)):
+                items.append((f, read(f)))
+        elif source.endswith(".txt"):
+            with open(source) as fh:
+                for line in fh:
+                    p = line.strip()
+                    if p:
+                        items.append((p, read(p)))
+        else:
+            items.append((source, read(source)))
+    else:  # sequence
+        for i, s in enumerate(source):
+            if isinstance(s, np.ndarray):
+                items.append((f"array_{i}", s))
+            else:
+                items.append((s, read(s)))
+    # channel harmonization
+    fixed = []
+    for path, img in items:
+        if img.shape[-1] < channels:
+            extra = np.repeat(img.mean(-1, keepdims=True).astype(img.dtype),
+                              channels - img.shape[-1], -1)
+            img = np.concatenate([img, extra], -1)
+        elif img.shape[-1] > channels:
+            img = img[..., :channels]
+        fixed.append((path, img))
+    return fixed
+
+
+class Predictor:
+    """Unified detect/segment predictor over a YOLOModel."""
+
+    def __init__(self, model: YOLOModel, variables: Dict, imgsz: int = 640,
+                 channels: int = 4, conf: float = 0.25, iou: float = 0.45,
+                 max_det: int = 300, batch_size: int = 16,
+                 names: Optional[Dict[int, str]] = None,
+                 keep_orig_images: bool = True):
+        self.model = model
+        self.variables = variables
+        self.imgsz = imgsz
+        self.channels = channels
+        self.batch_size = batch_size
+        self.task = model.spec.task
+        self.names = names or {i: str(i) for i in range(model.spec.nc)}
+        self.keep_orig_images = keep_orig_images
+        nm = model.spec.nm if self.task == "segment" else 0
+
+        @jax.jit
+        def infer(variables, imgs_u8):
+            x = letterbox_batch(imgs_u8, (imgsz, imgsz))
+            out = model.apply(variables, x, train=False)
+            dets = non_max_suppression(out.preds, conf_thres=conf,
+                                       iou_thres=iou, max_det=max_det,
+                                       nc=model.spec.nc)
+            masks = None
+            if self.task == "segment":
+                masks = jax.vmap(
+                    lambda proto, coefs, bx: process_mask(
+                        proto, coefs, bx, (imgsz, imgsz), upsample=True)
+                )(out.protos, dets.extra, dets.boxes)
+            return dets, masks, out
+
+        self._infer = infer
+
+        @jax.jit
+        def raw(variables, imgs):
+            x = letterbox_batch(imgs, (imgsz, imgsz))
+            return model.apply(variables, x, train=False)
+
+        self._raw = raw
+
+    def raw_forward(self, imgs_u8: np.ndarray):
+        """Letterbox + model forward only (objectmap/visualization path)."""
+        return self._raw(self.variables, jnp.asarray(imgs_u8))
+
+    def __call__(self, source: Source) -> List[Results]:
+        items = load_source(source, self.channels)
+        results: List[Results] = []
+        for start in range(0, len(items), self.batch_size):
+            chunk = list(items[start:start + self.batch_size])
+            n_real = len(chunk)
+            while len(chunk) < self.batch_size:  # pad count with first element
+                chunk.append(chunk[0])
+            imgs = np.stack([c[1] for c in chunk])
+            dets, masks, _ = self._infer(self.variables, jnp.asarray(imgs))
+            dets_np = jax.device_get(dets)
+            masks_np = np.asarray(masks) if masks is not None else None
+            for i in range(n_real):
+                path, orig = items[start + i]
+                results.append(self._build_result(
+                    path, orig, dets_np.boxes[i], dets_np.conf[i],
+                    dets_np.cls[i], dets_np.valid[i],
+                    masks_np[i] if masks_np is not None else None))
+        return results
+
+    def _build_result(self, path, orig, boxes, conf, cls, valid, masks) -> Results:
+        n = int(valid.sum())
+        boxes = np.asarray(boxes[:n], np.float32)
+        conf = np.asarray(conf[:n], np.float32)
+        cls = np.asarray(cls[:n], np.float32)
+        mask_out = None
+        if masks is not None:
+            m = np.asarray(masks[:n], np.float32)
+            keep = m.sum((-2, -1)) > 0      # drop empty masks (predictor parity)
+            boxes, conf, cls, m = boxes[keep], conf[keep], cls[keep], m[keep]
+            if m.size:
+                mh, mw = m.shape[-2:]
+                oh, ow = orig.shape[:2]
+                if (mh, mw) != (oh, ow):
+                    gain = min(mh / oh, mw / ow)
+                    ph = int(round((mh - oh * gain) / 2))
+                    pw = int(round((mw - ow * gain) / 2))
+                    m = m[:, ph:mh - ph or None, pw:mw - pw or None]
+                    try:
+                        import cv2
+                        m = np.stack([cv2.resize(mi, (ow, oh),
+                                                 interpolation=cv2.INTER_LINEAR)
+                                      for mi in m]) > 0.5
+                        m = m.astype(np.float32)
+                    except ImportError:  # pragma: no cover
+                        pass
+            mask_out = Masks(m)
+        scaled = np.asarray(box_ops.scale_boxes(
+            (self.imgsz, self.imgsz), jnp.asarray(boxes), orig.shape[:2]))
+        data = np.concatenate([scaled, conf[:, None], cls[:, None]], axis=1)
+        return Results(orig_img=orig if self.keep_orig_images else None,
+                       path=path, names=self.names, boxes=Boxes(data),
+                       masks=mask_out)

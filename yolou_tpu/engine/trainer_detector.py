@@ -1,0 +1,233 @@
+"""Detector/segmenter fine-tune trainer (the stage-1 YOLO training loop).
+
+The reference only subclasses Ultralytics' trainer (custom_yolo_trainer/
+custom_trainer.py) and inherits its loop from pip; this module owns the whole
+loop TPU-natively: warmup + cosine LR, EMA params, on-device augmentation
+(close-mosaic schedule included), the v8 det/seg loss with TAL, data-parallel
+execution over a device mesh, and checkpointing with resume.
+
+Design notes (TPU-first):
+  * one jitted step: device aug -> forward -> loss -> grads -> optimizer,
+    with donated state; batches shard over the mesh 'data' axis, params are
+    replicated, XLA inserts the gradient all-reduce over ICI,
+  * EMA is a jitted lerp over the param tree (Ultralytics decay ramp
+    d = d0 * (1 - exp(-step/tau))),
+  * close_mosaic epochs switch to a no-mosaic jit specialization (two static
+    variants, both cached).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+import time
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.augment import AugHyp, augment_batch
+from ..data.yolo_dataset import YoloSegDataset, collate_idmap
+from ..data.decoder_dataset import prefetch
+from ..losses.v8 import LossHyp, v8_loss
+from ..models.yolo import YOLOModel
+from ..parallel import mesh as meshlib
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+@dataclasses.dataclass
+class DetectorTrainConfig:
+    imgsz: int = 160
+    batch_size: int = 16
+    epochs: int = 10
+    lr0: float = 0.01
+    lrf: float = 0.01               # final lr fraction (cosine)
+    momentum: float = 0.937
+    weight_decay: float = 5e-4
+    warmup_epochs: float = 3.0
+    warmup_momentum: float = 0.8
+    warmup_bias_lr: float = 0.1
+    ema_decay: float = 0.9999
+    ema_tau: float = 2000.0
+    close_mosaic: int = 10          # disable mosaic for the last N epochs
+    max_instances: int = 16
+    mask_ratio: int = 4
+    seed: int = 0
+    run_dir: str = "runs_detector"
+    optimizer: str = "sgd"          # "sgd" (ultralytics auto default) | "adamw"
+
+
+class DetTrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    ema_params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+class DetectorTrainer:
+    def __init__(self, model: YOLOModel, variables: Dict, data_cfg,
+                 cfg: DetectorTrainConfig = DetectorTrainConfig(),
+                 aug: AugHyp = AugHyp(), loss_hyp: LossHyp = LossHyp(),
+                 mesh=None):
+        self.model = model
+        self.cfg = cfg
+        self.aug = aug
+        self.loss_hyp = loss_hyp
+        self.data_cfg = data_cfg
+        self.mesh = mesh
+        self.state: Optional[DetTrainState] = None
+        self._variables = variables
+        self.history: Dict[str, list] = {"loss": [], "box": [], "cls": [],
+                                         "dfl": [], "seg": [], "lr": []}
+
+    # ------------------------------------------------------------------ setup
+    def _make_tx(self, steps_per_epoch: int):
+        cfg = self.cfg
+        total = max(1, cfg.epochs * steps_per_epoch)
+        warm = int(cfg.warmup_epochs * steps_per_epoch)
+
+        def lr_fn(step):
+            frac = jnp.clip(step / jnp.maximum(warm, 1), 0.0, 1.0)
+            warm_lr = cfg.lr0 * frac
+            prog = jnp.clip((step - warm) / jnp.maximum(total - warm, 1), 0.0, 1.0)
+            cos = cfg.lrf + (1 - cfg.lrf) * 0.5 * (1 + jnp.cos(jnp.pi * prog))
+            return jnp.where(step < warm, warm_lr, cfg.lr0 * cos)
+
+        self._lr_fn = lr_fn
+        if cfg.optimizer == "adamw":
+            return optax.adamw(lr_fn, weight_decay=cfg.weight_decay)
+        return optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.sgd(lr_fn, momentum=cfg.momentum, nesterov=True),
+        )
+
+    def ensure_ready(self, steps_per_epoch: int) -> None:
+        if self.state is not None:
+            return
+        tx = self._make_tx(steps_per_epoch)
+        self.tx = tx
+        params = dict(self._variables["params"])
+        self.state = DetTrainState(
+            params=params,
+            batch_stats=self._variables["batch_stats"],
+            ema_params=jax.tree_util.tree_map(jnp.copy, params),
+            opt_state=tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        self._build_step()
+
+    def _build_step(self):
+        model = self.model
+        cfg = self.cfg
+        spec = model.spec
+        with_masks = spec.task == "segment"
+
+        def step_fn(state: DetTrainState, img_u8, idmap, cls, valid, key,
+                    use_mosaic: bool):
+            img = img_u8.astype(jnp.float32) / 255.0
+            batch = augment_batch(img, idmap, cls, valid, key, self.aug,
+                                  g_out=cfg.max_instances,
+                                  mask_ratio=cfg.mask_ratio,
+                                  use_mosaic=use_mosaic)
+
+            def loss_fn(params):
+                out, updates = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch["img"], train=True, mutable=["batch_stats"])
+                targets = {"cls": batch["cls"], "bboxes": batch["bboxes"],
+                           "valid": batch["valid"], "masks": batch["masks"]}
+                lo = v8_loss(out.raw, out.mask_coefs, out.protos, targets,
+                             nc=spec.nc, strides=spec.strides,
+                             reg_max=spec.reg_max, hyp=self.loss_hyp,
+                             with_masks=with_masks)
+                return lo.total, (lo.parts, updates["batch_stats"])
+
+            (loss, (parts, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, new_opt = self.tx.update(grads, state.opt_state,
+                                              state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            # EMA with ramping decay
+            step = state.step + 1
+            d = cfg.ema_decay * (1 - jnp.exp(-step / cfg.ema_tau))
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1 - d),
+                state.ema_params, new_params)
+            new_state = DetTrainState(new_params, new_bs, new_ema, new_opt, step)
+            return new_state, loss, parts
+
+        self._step = {
+            True: jax.jit(lambda s, i, m, c, v, k: step_fn(s, i, m, c, v, k, True),
+                          donate_argnums=(0,)),
+            False: jax.jit(lambda s, i, m, c, v, k: step_fn(s, i, m, c, v, k, False),
+                           donate_argnums=(0,)),
+        }
+
+    # ------------------------------------------------------------------ train
+    def train(self, resume_from: Optional[str] = None) -> Dict[str, list]:
+        cfg = self.cfg
+        img_dir = self.data_cfg.split_dir("train")
+        ds = YoloSegDataset(img_dir, imgsz=cfg.imgsz,
+                            channels=self.data_cfg.channels)
+        steps_per_epoch = max(1, len(ds) // cfg.batch_size)
+        self.ensure_ready(steps_per_epoch)
+
+        run_dir = os.path.join(cfg.run_dir, time.strftime("%Y_%m_%d_%H_%M_%S"))
+        os.makedirs(os.path.join(run_dir, "weights"), exist_ok=True)
+        with open(os.path.join(run_dir, "config.json"), "w") as f:
+            json.dump(dataclasses.asdict(cfg), f, indent=2)
+
+        start_epoch = 0
+        if resume_from:
+            ck = load_checkpoint(resume_from,
+                                 jax.device_get(self.state._asdict()))
+            self.state = DetTrainState(**ck)
+            start_epoch = int(self.state.step) // steps_per_epoch
+
+        if self.mesh is not None:
+            self.state = meshlib.replicate(self.mesh, self.state)
+
+        key = jax.random.key(cfg.seed)
+        for epoch in range(start_epoch, cfg.epochs):
+            mosaic_on = epoch < cfg.epochs - cfg.close_mosaic
+            t0 = time.time()
+            ep = {"loss": 0.0, "box": 0.0, "cls": 0.0, "dfl": 0.0, "seg": 0.0}
+            nb = 0
+
+            def batch_iter():
+                idx = np.random.default_rng(cfg.seed + epoch).permutation(len(ds))
+                for s in range(0, len(idx) - cfg.batch_size + 1, cfg.batch_size):
+                    items = [ds.item(int(j)) for j in idx[s:s + cfg.batch_size]]
+                    yield collate_idmap(items, cfg.max_instances)
+
+            for cb in prefetch(batch_iter()):
+                key, sub = jax.random.split(key)
+                args = (jnp.asarray(cb["img"]), jnp.asarray(cb["idmap"]),
+                        jnp.asarray(cb["cls"]), jnp.asarray(cb["valid"]))
+                if self.mesh is not None:
+                    args = meshlib.shard_batch(self.mesh, args)
+                self.state, loss, parts = self._step[mosaic_on](
+                    self.state, *args, sub)
+                ep["loss"] += float(loss)
+                for k in ("box", "cls", "dfl", "seg"):
+                    ep[k] += float(parts[k])
+                nb += 1
+
+            for k in ep:
+                self.history[k].append(ep[k] / max(nb, 1))
+            self.history["lr"].append(float(self._lr_fn(self.state.step)))
+            print(f"epoch {epoch + 1}/{cfg.epochs} "
+                  + " ".join(f"{k}={ep[k] / max(nb, 1):.4f}" for k in ep)
+                  + f" [{time.time() - t0:.1f}s, mosaic={mosaic_on}]")
+            save_checkpoint(os.path.join(run_dir, "weights", "last.ckpt"),
+                            jax.device_get(self.state._asdict()))
+        return self.history
+
+    def ema_variables(self) -> Dict:
+        return {"params": self.state.ema_params,
+                "batch_stats": self.state.batch_stats}
