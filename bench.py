@@ -1,0 +1,142 @@
+"""Benchmark: 640² 4-channel fused inference (letterbox+forward+decode+NMS).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+`vs_baseline` is measured against the north-star bar from BASELINE.json:
+**5x the CPU reference throughput** on the same workload. The CPU reference is
+this framework's own pipeline executed on the host CPU backend (the reference
+repo targets "near-native CPU inference"; its ultralytics/torch stack is not
+installable here, so the CPU proxy is the same math on the same host class).
+vs_baseline = tpu_ips / (5 * cpu_ips)  -> >= 1.0 means the target is met.
+
+Details (p50 NMS+decode latency, batch sweep, cpu baseline) go to
+BENCH_DETAILS.json.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _build(backend_device, dtype_name="bfloat16", batch=16, imgsz=640):
+    import jax
+    import jax.numpy as jnp
+
+    from yolou_tpu.models.yolo import build_yolo
+    from yolou_tpu.ops.letterbox import letterbox_batch
+    from yolou_tpu.ops.nms import non_max_suppression
+
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    model = build_yolo("yolov12", "n", nc=1, ch=4, task="segment", dtype=dtype)
+    with jax.default_device(backend_device):
+        variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+            jax.random.key(0), jnp.zeros((1, imgsz, imgsz, 4)))
+
+        @jax.jit
+        def fn(variables, imgs_u8):
+            x = letterbox_batch(imgs_u8, (imgsz, imgsz))
+            out = model.apply(variables, x, train=False)
+            dets = non_max_suppression(out.preds.astype(jnp.float32),
+                                       conf_thres=0.25, iou_thres=0.45,
+                                       max_det=300, nc=1)
+            return dets.boxes, dets.conf, dets.valid
+
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.integers(0, 255, (batch, imgsz, imgsz, 4),
+                                        dtype=np.uint8))
+        variables = jax.device_put(variables, backend_device)
+        imgs = jax.device_put(imgs, backend_device)
+    return fn, variables, imgs
+
+
+def _throughput(fn, variables, imgs, iters, warmup=3):
+    """Slope-based timing: through the axon tunnel, block_until_ready can
+    return before device completion, so measure t(N)-t(1) over N-1 chained
+    dispatches ending in a scalar host transfer (the transfer cannot complete
+    before the queued compute)."""
+    import jax
+    import jax.numpy as jnp
+
+    sumfn = jax.jit(lambda o: jnp.sum(o[1]))
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(variables, imgs)
+        float(sumfn(out))
+        return time.perf_counter() - t0
+
+    for _ in range(warmup):
+        run(1)
+    t1 = min(run(1) for _ in range(3))
+    tn = min(run(1 + iters) for _ in range(2))
+    per_call = max((tn - t1) / iters, 1e-9)
+    return imgs.shape[0] / per_call, per_call
+
+
+def main():
+    import jax
+
+    details = {}
+    accel = [d for d in jax.devices() if d.platform != "cpu"]
+    cpu = jax.devices("cpu")[0] if accel else jax.devices()[0]
+    tpu = accel[0] if accel else jax.devices()[0]
+
+    # --- TPU (or default device) throughput, batch sweep
+    best_ips, best_batch = 0.0, 0
+    for batch in (16, 32, 64):
+        try:
+            fn, v, imgs = _build(tpu, "bfloat16", batch)
+            ips, step_t = _throughput(fn, v, imgs, iters=max(4, int(8 * 16 / batch)))
+            details[f"tpu_ips_b{batch}"] = ips
+            if ips > best_ips:
+                best_ips, best_batch = ips, batch
+        except Exception as e:  # keep the bench robust on odd hosts
+            details[f"tpu_b{batch}_error"] = str(e)[:200]
+    details["tpu_best_batch"] = best_batch
+
+    # --- p50 end-to-end latency (batch 1, includes host round-trip)
+    try:
+        import jax.numpy as jnp
+        fn1, v1, img1 = _build(tpu, "bfloat16", 1)
+        sumfn = jax.jit(lambda o: jnp.sum(o[1]))
+        float(sumfn(fn1(v1, img1)))
+        lats = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            float(sumfn(fn1(v1, img1)))
+            lats.append(time.perf_counter() - t0)
+        details["p50_e2e_latency_ms_b1"] = float(np.percentile(lats, 50) * 1e3)
+    except Exception as e:
+        details["latency_error"] = str(e)[:200]
+
+    # --- CPU reference proxy (float32, small batch, few iters)
+    cpu_ips = None
+    try:
+        fnc, vc, imgc = _build(cpu, "float32", 4)
+        cpu_ips, _ = _throughput(fnc, vc, imgc, iters=3, warmup=1)
+        details["cpu_ips_b4"] = cpu_ips
+    except Exception as e:
+        details["cpu_error"] = str(e)[:200]
+
+    vs_baseline = (best_ips / (5.0 * cpu_ips)) if (cpu_ips and best_ips) else 0.0
+    details["baseline_definition"] = "5x CPU-proxy images/sec (north star)"
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAILS.json"), "w") as f:
+        json.dump(details, f, indent=2)
+
+    print(json.dumps({
+        "metric": "images_per_sec_per_chip_640px_4ch_infer_nms",
+        "value": round(best_ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

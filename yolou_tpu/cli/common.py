@@ -1,0 +1,47 @@
+"""Shared CLI helpers: model loading/creation and argument plumbing."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.segpp import YOLOSegPP
+from ..models.yolo import build_yolo, inflate_stem_to_4ch, parse_model_spec
+from ..utils.model_io import load_model, save_model
+
+
+def get_or_init_detector(model_path: Optional[str], *, variant: str = "n",
+                         nc: int = 1, ch: int = 4, task: str = "detect",
+                         imgsz: int = 160, seed: int = 0, dtype=None):
+    """Load a saved detector, or initialize fresh weights when no checkpoint
+    exists (the reference requires a gitignored .pt; we degrade gracefully)."""
+    if model_path and os.path.exists(model_path):
+        model, variables = load_model(model_path, dtype=dtype)
+        return model, variables
+    model = build_yolo("yolov12", variant, nc=nc, ch=ch, task=task,
+                       **({} if dtype is None else {"dtype": dtype}))
+    init = jax.jit(lambda k, x: model.init(k, x, train=False))
+    variables = init(jax.random.key(seed), jnp.zeros((1, imgsz, imgsz, ch)))
+    return model, jax.device_get(variables)
+
+
+def build_segpp_from_detector(det_variables: Dict, *, variant: str = "n",
+                              nc: int = 1, ch: int = 4, use_logits: bool = True,
+                              imgsz: int = 160, seed: int = 0,
+                              dtype=None) -> Tuple[YOLOSegPP, Dict]:
+    """YOLOSegPP with the detector weights transplanted into the yolo subtree
+    (the reference's `YOLOSegPlusPlus(predictor)` construction, train.py:568)."""
+    spec = parse_model_spec("yolov12", variant, nc, ch, "detect")
+    model = YOLOSegPP(spec=spec, use_logits=use_logits,
+                      **({} if dtype is None else {"dtype": dtype}))
+    init = jax.jit(lambda k, x: model.init(k, x, train=False))
+    variables = jax.device_get(
+        init(jax.random.key(seed), jnp.zeros((1, imgsz, imgsz, ch))))
+    params = dict(variables["params"])
+    params["yolo"] = det_variables["params"]
+    bs = dict(variables["batch_stats"])
+    bs["yolo"] = det_variables["batch_stats"]
+    return model, {"params": params, "batch_stats": bs}

@@ -1,0 +1,99 @@
+"""ctypes wrapper around the native C++ IO runtime (libyolou_io.so).
+
+Builds on demand with make/g++ when the shared library is absent; all
+consumers fall back to cv2 when the native path is unavailable, so this is an
+acceleration layer, not a hard dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libyolou_io.so")
+_lib = None
+
+
+def build(force: bool = False) -> bool:
+    """Compile the shared library (idempotent). Returns True on success."""
+    if os.path.exists(_LIB_PATH) and not force:
+        return True
+    try:
+        subprocess.run(["make", "-C", _DIR], check=True,
+                       capture_output=True, text=True)
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def get_lib(auto_build: bool = True):
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        if not (auto_build and build()):
+            return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.yio_decode_png_file.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int)]
+    lib.yio_decode_png_file.restype = ctypes.c_int
+    lib.yio_load_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int)]
+    lib.yio_load_batch.restype = ctypes.c_int
+    lib.yio_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def decode_png(path: str) -> Optional[np.ndarray]:
+    """Decode one PNG to an HWC uint8 array via the native decoder."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    rc = lib.yio_decode_png_file(path.encode(), ctypes.byref(out),
+                                 ctypes.byref(h), ctypes.byref(w),
+                                 ctypes.byref(c))
+    if rc != 0:
+        return None
+    n = h.value * w.value * c.value
+    arr = np.ctypeslib.as_array(out, shape=(n,)).copy()
+    lib.yio_free(out)
+    return arr.reshape(h.value, w.value, c.value)
+
+
+def load_batch(paths: List[str], imgsz: int, channels: int = 4,
+               letterbox: bool = False, nearest: bool = False,
+               nthreads: int = 0) -> Tuple[Optional[np.ndarray], np.ndarray]:
+    """Threaded decode+resize of a file list into (N, imgsz, imgsz, C) uint8.
+
+    Returns (batch, status); batch is None if the library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None, np.full(len(paths), -100, np.int32)
+    n = len(paths)
+    out = np.empty((n, imgsz, imgsz, channels), np.uint8)
+    status = np.zeros(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.yio_load_batch(
+        arr, n, imgsz, channels, int(letterbox), int(nearest), nthreads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    return out, status

@@ -1,0 +1,205 @@
+"""Torch (reference-style) state_dict -> flax variables converter.
+
+The reference's checkpoints are (a) ultralytics DetectionModel weights
+(`model.{i}.<...>` names; `yolo_checkpoint/weights/best.pt`, gitignored in the
+snapshot) and (b) plain YOLOSegPlusPlus state_dicts (`encoder.{i}.<...>`,
+`decoder.{i}.<...>`, `output.*`; saved at train.py:428). This module maps our
+flax param tree to those torch names rule-by-rule and transplants tensors with
+the right layout transposes:
+
+  conv.weight  (O,I,kh,kw)  -> conv/kernel (kh,kw,I,O)
+  deconv.weight (I,O,kh,kw) -> kernel (kh,kw,I... flax ConvTranspose (kh,kw,I,O))
+  bn.weight/bias            -> bn/scale, bn/bias
+  bn.running_mean/var       -> batch_stats bn/mean, bn/var
+  Conv1d weight (1,1,k)     -> conv1d/kernel (k,1,1)
+
+Because the real .pt is absent from the snapshot, correctness is enforced by a
+bijection test (every flax leaf maps to a unique torch name and back) plus a
+synthetic round-trip in tests/test_torch2jax.py.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+# --------------------------------------------------------------- name mapping
+
+def _module_segment(seg: str) -> Optional[str]:
+    """Translate one flax module-name segment to its torch dotted form.
+    Returns None for wrapper segments that have no torch counterpart."""
+    if seg in ("dw", "c3", "detect"):
+        return None                      # structural wrappers on our side
+    if seg.startswith("model_"):
+        return f"model.{seg[6:]}"
+    m = re.fullmatch(r"(cv[234])_(\d+)_(\d+)(?:_(\d+))?", seg)
+    if m:
+        parts = [m.group(1), m.group(2), m.group(3)]
+        if m.group(4) is not None:
+            parts.append(m.group(4))
+        return ".".join(parts)
+    m = re.fullmatch(r"m(\d+)_(\d+)", seg)
+    if m:
+        return f"m.{m.group(1)}.{m.group(2)}"
+    m = re.fullmatch(r"m(\d+)", seg)
+    if m:
+        return f"m.{m.group(1)}"
+    table = {
+        "mlp1": "mlp.0", "mlp2": "mlp.1",
+        "ghost1": "conv.0", "ghost2": "conv.1", "dwmid": "conv.1",
+        "sc_dw": "shortcut.0", "sc_pw": "shortcut.1",
+        "conv_a": "conv.0", "conv_b": "conv.1",
+        "residual": "residual_conv",
+        # SegPP decoder (torch ModuleList of Sequentials,
+        # YOLOSegPlusPlus.py:156-178; upsample is the parameterless [0])
+        "mix0": "decoder.0.0", "eca0": "decoder.0.1",
+        "up1": "decoder.1.1", "mix2": "decoder.2.0", "eca2": "decoder.2.1",
+        "up3": "decoder.3.1", "up4": "decoder.4.1", "output": "output",
+    }
+    return table.get(seg, seg)
+
+
+def _ghost2_fix(parts: List[str]) -> None:
+    """GhostBottleneck with stride 2 shifts ghost2 from conv.1 to conv.2 —
+    only relevant if a spec ever uses s=2 ghost blocks (v12 uses s=1)."""
+
+
+def flax_to_torch_name(path: Tuple[str, ...], collection: str) -> Optional[str]:
+    """Map a flax variable path (module segments + leaf) to the torch name."""
+    *mods, leaf = path
+    segs: List[str] = []
+    for seg in mods:
+        t = _module_segment(seg)
+        if t is not None:
+            segs.append(t)
+    prefix = ".".join(segs)
+    last_mod = mods[-1] if mods else ""
+    if collection == "batch_stats":
+        leaf_t = {"mean": "running_mean", "var": "running_var"}[leaf]
+        return f"{prefix}.{leaf_t}"
+    if leaf == "kernel":
+        return f"{prefix}.weight"
+    if leaf in ("bias",):
+        return f"{prefix}.bias"
+    if leaf == "scale":
+        return f"{prefix}.weight"
+    if leaf == "gamma":
+        return f"{prefix}.gamma"
+    return f"{prefix}.{leaf}"
+
+
+def _to_flax_layout(torch_arr: np.ndarray, flax_shape: Tuple[int, ...],
+                    path: Tuple[str, ...]) -> Optional[np.ndarray]:
+    a = np.asarray(torch_arr)
+    if tuple(a.shape) == tuple(flax_shape):
+        return a
+    # Conv2d OIHW -> HWIO
+    if a.ndim == 4:
+        t = a.transpose(2, 3, 1, 0)
+        if t.shape == tuple(flax_shape):
+            return t
+        # ConvTranspose2d (I, O, kh, kw) -> (kh, kw, I, O)
+        t = a.transpose(2, 3, 0, 1)
+        if t.shape == tuple(flax_shape):
+            return t
+    # Conv1d (1, 1, k) -> (k, 1, 1)
+    if a.ndim == 3:
+        t = a.transpose(2, 1, 0)
+        if t.shape == tuple(flax_shape):
+            return t
+    if a.size == int(np.prod(flax_shape)):
+        return a.reshape(flax_shape)
+    return None
+
+
+# --------------------------------------------------------------- conversion
+
+def _flatten(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        p = prefix + (k,)
+        if isinstance(v, dict):
+            out.update(_flatten(v, p))
+        else:
+            out[p] = v
+    return out
+
+
+def _unflatten(flat: Dict[Tuple[str, ...], np.ndarray]):
+    root: Dict = {}
+    for path, v in flat.items():
+        node = root
+        for seg in path[:-1]:
+            node = node.setdefault(seg, {})
+        node[path[-1]] = v
+    return root
+
+
+def convert_state_dict(torch_sd: Dict[str, np.ndarray], template: Dict,
+                       prefix_map: Optional[Dict[str, str]] = None,
+                       strict: bool = True) -> Tuple[Dict, Dict]:
+    """Fill a flax `variables` template from a torch state_dict.
+
+    prefix_map rewrites our top-level subtrees to torch prefixes; e.g. for the
+    SegPP decoder checkpoint: {"yolo.model": "encoder"} maps
+    params/yolo/model_{i} -> encoder.{i}. Returns (variables, report) where
+    report lists matched/missing/unused torch keys.
+    """
+    prefix_map = prefix_map or {}
+    out = {}
+    matched, missing = [], []
+    used = set()
+    for coll in ("params", "batch_stats"):
+        if coll not in template:
+            continue
+        flat = _flatten(template[coll])
+        conv = {}
+        for path, leaf in flat.items():
+            tname = flax_to_torch_name(path, coll)
+            # apply prefix rewrites on the dotted name
+            for ours, theirs in prefix_map.items():
+                if tname.startswith(ours):
+                    tname = theirs + tname[len(ours):]
+                    break
+            if tname in torch_sd:
+                arr = _to_flax_layout(torch_sd[tname], np.shape(leaf), path)
+                if arr is None:
+                    raise ValueError(
+                        f"shape mismatch for {tname}: torch "
+                        f"{np.shape(torch_sd[tname])} vs flax {np.shape(leaf)}")
+                conv[path] = arr.astype(np.asarray(leaf).dtype)
+                matched.append(tname)
+                used.add(tname)
+            else:
+                conv[path] = np.asarray(leaf)
+                missing.append(".".join(path) + f" (wanted {tname})")
+        out[coll] = _unflatten(conv)
+    unused = [k for k in torch_sd
+              if k not in used and not k.endswith("num_batches_tracked")
+              and "anchors" not in k and "dfl" not in k and k != "param"]
+    report = {"matched": len(matched), "missing": missing, "unused": unused}
+    if strict and missing:
+        raise KeyError(f"{len(missing)} template leaves unmatched; first: "
+                       f"{missing[:5]}")
+    return out, report
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a plain torch state_dict .pt/.pth (weights_only — no pickle exec)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in obj.items()}
+
+
+SEGPP_PREFIX_MAP = {
+    # our params/yolo/model_{i} holds the whole YOLO graph; the reference
+    # decoder checkpoint stores only the encoder slice as encoder.{i}
+    "model": "encoder",
+}
