@@ -88,10 +88,10 @@ def main():
 
     # --- TPU (or default device) throughput, batch sweep
     best_ips, best_batch = 0.0, 0
-    for batch in (16, 32, 64):
+    for batch in (32, 64, 128):
         try:
             fn, v, imgs = _build(tpu, "bfloat16", batch)
-            ips, step_t = _throughput(fn, v, imgs, iters=max(4, int(8 * 16 / batch)))
+            ips, step_t = _throughput(fn, v, imgs, iters=max(4, int(512 / batch)))
             details[f"tpu_ips_b{batch}"] = ips
             if ips > best_ips:
                 best_ips, best_batch = ips, batch

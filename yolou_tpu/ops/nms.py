@@ -41,14 +41,33 @@ class NMSResult(NamedTuple):
 
 
 def _suppress_greedy(iou: jax.Array, valid: jax.Array, iou_thres: float) -> jax.Array:
+    """Exact greedy keep-set via Jacobi fixpoint (TPU-friendly).
+
+    Greedy NMS satisfies keep[i] = valid[i] & no kept j<i with IoU>thres —
+    a lexicographic maximal-independent-set condition. Instead of a K-step
+    sequential cascade (terrible on TPU), iterate the dense update
+        keep <- valid & ~any_{j<i}(keep[j] & iou[j,i] > thres)
+    which fixes at least one more level of the suppression chain per sweep;
+    real detections converge in a handful of sweeps. The while_loop exits on
+    the first stable sweep, so cost is O(chain_depth) dense (K,K) ops.
+    """
     k = iou.shape[0]
-    idx = jnp.arange(k)
+    hit = (iou > iou_thres) & jnp.tril(jnp.ones((k, k), bool), k=-1).T  # j<i mask
+    hit = hit & valid[:, None]
 
-    def body(i, alive):
-        row_hit = (iou[i] > iou_thres) & (idx > i) & alive[i]
-        return alive & ~row_hit
+    def cond(state):
+        keep, prev, it = state
+        return (it < k) & jnp.any(keep != prev)
 
-    return jax.lax.fori_loop(0, k, body, valid)
+    def body(state):
+        keep, _, it = state
+        suppressed = jnp.any(hit & keep[:, None], axis=0)
+        return valid & ~suppressed, keep, it + 1
+
+    keep0 = valid
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (keep0, jnp.zeros_like(keep0), jnp.int32(0)))
+    return keep
 
 
 def _suppress_matrix(iou: jax.Array, valid: jax.Array, iou_thres: float) -> jax.Array:
