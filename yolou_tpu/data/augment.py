@@ -36,6 +36,8 @@ class AugHyp:
     fliplr: float = 0.5
     mixup: float = 0.0
     cutmix: float = 0.0
+    copy_paste: float = 0.0
+    resolution_p: float = 0.0       # RandomResolution (reference default: off)
     hsv_h: float = 0.015
     hsv_s: float = 0.7
     hsv_v: float = 0.4
@@ -319,6 +321,74 @@ def mixup(img: jax.Array, idmap: jax.Array, cls, valid, key, p: float):
     return img, joined, cls2, val2
 
 
+def random_resolution(img: jax.Array, key: jax.Array, hyp: AugHyp) -> jax.Array:
+    """Down-up resample degradation (custom_v8_transforms.py:30-50). Static
+    shapes: one of three discrete scale factors per image via lax.switch."""
+    if hyp.resolution_p <= 0:
+        return img
+    b, s, _, c = img.shape
+    kp, ks = jax.random.split(key)
+    apply = jax.random.uniform(kp, (b,)) < hyp.resolution_p
+    which = jax.random.randint(ks, (b,), 0, 3)
+
+    def degrade(scale):
+        t = max(8, int(s * scale))
+        def f(im):
+            low = jax.image.resize(im, (t, t, c), method="linear")
+            return jax.image.resize(low, (s, s, c), method="linear")
+        return f
+
+    fns = [degrade(0.6), degrade(0.75), degrade(0.9)]
+
+    def one(im, w):
+        return jax.lax.switch(w, fns, im)
+
+    degraded = jax.vmap(one)(img, which)
+    return jnp.where(apply[:, None, None, None], degraded, img)
+
+
+def cutmix(img: jax.Array, idmap: jax.Array, cls, valid, key, p: float):
+    """Rectangular patch from a rolled partner image; labels union (padded)."""
+    b, s, _, _ = img.shape
+    g = cls.shape[1]
+    kp, kb, kwh = jax.random.split(key, 3)
+    apply = jax.random.uniform(kp, (b,)) < p
+    cxy = jax.random.uniform(kb, (b, 2), minval=0.2, maxval=0.8) * s
+    wh = jax.random.uniform(kwh, (b, 2), minval=0.2, maxval=0.5) * s
+    ys = jnp.arange(s)[None, :, None]
+    xs = jnp.arange(s)[None, None, :]
+    in_box = ((xs >= (cxy[:, 0] - wh[:, 0] / 2)[:, None, None])
+              & (xs < (cxy[:, 0] + wh[:, 0] / 2)[:, None, None])
+              & (ys >= (cxy[:, 1] - wh[:, 1] / 2)[:, None, None])
+              & (ys < (cxy[:, 1] + wh[:, 1] / 2)[:, None, None]))
+    in_box = in_box & apply[:, None, None]
+    img2 = jnp.roll(img, 1, axis=0)
+    id2 = jnp.roll(idmap, 1, axis=0)
+    img = jnp.where(in_box[..., None], img2, img)
+    idmap = jnp.where(in_box, jnp.where(id2 > 0, id2 + g, 0), idmap)
+    cls2 = jnp.concatenate([cls, jnp.roll(cls, 1, axis=0)], axis=1)
+    val2 = jnp.concatenate([valid, jnp.roll(valid, 1, axis=0) & apply[:, None]],
+                           axis=1)
+    return img, idmap, cls2, val2
+
+
+def copy_paste_flip(img: jax.Array, idmap: jax.Array, cls, valid, key, p: float):
+    """Flip-mode CopyPaste: paste horizontally-mirrored instances of the same
+    image onto free background (ultralytics copy_paste_mode='flip')."""
+    b = img.shape[0]
+    g = cls.shape[1]
+    kp = key
+    apply = jax.random.uniform(kp, (b,)) < p
+    fimg = img[:, :, ::-1]
+    fid = idmap[:, :, ::-1]
+    paste = (fid > 0) & (idmap == 0) & apply[:, None, None]
+    img = jnp.where(paste[..., None], fimg, img)
+    idmap = jnp.where(paste, fid + g, idmap)
+    cls2 = jnp.concatenate([cls, cls], axis=1)
+    val2 = jnp.concatenate([valid, valid & apply[:, None]], axis=1)
+    return img, idmap, cls2, val2
+
+
 # ---------------------------------------------------------------- finalize
 
 def boxes_from_idmap(idmap: jax.Array, g: int) -> jax.Array:
@@ -388,7 +458,15 @@ def augment_batch(img: jax.Array, idmap: jax.Array, cls: jax.Array,
         canvas, mcanvas, minvs)
 
     img, idmap, cls, valid = mixup(img, idmap, cls, valid, keys[3], hyp.mixup)
+    if hyp.cutmix > 0:
+        img, idmap, cls, valid = cutmix(img, idmap, cls, valid, keys[9],
+                                        hyp.cutmix)
+    if hyp.copy_paste > 0:
+        kcp = jax.random.fold_in(keys[9], 1)
+        img, idmap, cls, valid = copy_paste_flip(img, idmap, cls, valid, kcp,
+                                                 hyp.copy_paste)
 
+    img = random_resolution(img, jax.random.fold_in(keys[4], 1), hyp)
     img = gaussian_noise_per_channel(img, keys[4], hyp)
     img = mild_gaussian_blur(img, keys[5], hyp)
     img = random_bias_field(img, keys[6], hyp)

@@ -31,8 +31,28 @@ from ..ops import boxes as box_ops
 from .results import Boxes, Masks, Results
 
 IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".webp")
+VID_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm", ".gif")
 
 Source = Union[str, np.ndarray, Sequence[Union[str, np.ndarray]]]
+
+
+def _read_video_frames(path: str, stride: int = 1) -> List[Tuple[str, np.ndarray]]:
+    """Video ingestion (CustomLoadImagesAndVideos capability,
+    custom_load_images_and_videos.py:124-155): every `stride`-th frame."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    frames = []
+    i = 0
+    while cap.isOpened():
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if i % stride == 0:
+            frames.append((f"{path}#frame{i}", frame))
+        i += 1
+    cap.release()
+    return frames
 
 
 def load_source(source: Source, channels: int = 4) -> List[Tuple[str, np.ndarray]]:
@@ -71,6 +91,8 @@ def load_source(source: Source, channels: int = 4) -> List[Tuple[str, np.ndarray
                     p = line.strip()
                     if p:
                         items.append((p, read(p)))
+        elif source.lower().endswith(VID_EXTS):
+            items.extend(_read_video_frames(source))
         else:
             items.append((source, read(source)))
     else:  # sequence
