@@ -30,7 +30,8 @@ def _build(backend_device, dtype_name="bfloat16", batch=16, imgsz=640):
     from yolou_tpu.ops.nms import non_max_suppression
 
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
-    model = build_yolo("yolov12", "n", nc=1, ch=4, task="segment", dtype=dtype)
+    model = build_yolo("yolov12", "n", nc=1, ch=4, task="segment", dtype=dtype,
+                       use_pallas=(dtype_name == "bfloat16"))
     with jax.default_device(backend_device):
         variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
             jax.random.key(0), jnp.zeros((1, imgsz, imgsz, 4)))
@@ -81,6 +82,12 @@ def _throughput(fn, variables, imgs, iters, warmup=3):
 def main():
     import jax
 
+    try:  # persistent compile cache: repeat runs skip the ~60s compiles
+        jax.config.update("jax_compilation_cache_dir", "/tmp/yolou_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     details = {}
     accel = [d for d in jax.devices() if d.platform != "cpu"]
     cpu = jax.devices("cpu")[0] if accel else jax.devices()[0]
@@ -88,7 +95,7 @@ def main():
 
     # --- TPU (or default device) throughput, batch sweep
     best_ips, best_batch = 0.0, 0
-    for batch in (32, 64, 128):
+    for batch in (64, 128):
         try:
             fn, v, imgs = _build(tpu, "bfloat16", batch)
             ips, step_t = _throughput(fn, v, imgs, iters=max(4, int(512 / batch)))

@@ -1,0 +1,97 @@
+"""Detection metrics + validator + new predictor surface tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from yolou_tpu.metrics.det import DetMetrics, average_precision, box_iou_np
+from yolou_tpu.ops.segments import resample_segments, segments2boxes
+
+
+def test_perfect_predictions_give_map1():
+    m = DetMetrics(nc=1)
+    gt = np.asarray([[10, 10, 50, 50], [60, 60, 90, 90]], np.float32)
+    m.update(gt, np.asarray([0.9, 0.8]), np.zeros(2), gt, np.zeros(2))
+    out = m.compute()
+    assert out["map50"] == pytest.approx(1.0, abs=1e-3)
+    assert out["map"] == pytest.approx(1.0, abs=1e-3)
+    assert out["recall"] == 1.0
+
+
+def test_false_positives_reduce_precision():
+    m = DetMetrics(nc=1)
+    gt = np.asarray([[10, 10, 50, 50]], np.float32)
+    preds = np.asarray([[10, 10, 50, 50], [200, 200, 240, 240]], np.float32)
+    m.update(preds, np.asarray([0.9, 0.8]), np.zeros(2), gt, np.zeros(1))
+    out = m.compute()
+    assert out["map50"] > 0.9          # high-conf TP first -> AP stays high
+    assert out["precision"] == 0.5
+
+
+def test_localization_quality_affects_map5095():
+    m = DetMetrics(nc=1)
+    gt = np.asarray([[0, 0, 100, 100]], np.float32)
+    loose = np.asarray([[0, 0, 100, 80]], np.float32)   # IoU 0.8
+    m.update(loose, np.asarray([0.9]), np.zeros(1), gt, np.zeros(1))
+    out = m.compute()
+    assert out["map50"] == pytest.approx(1.0, abs=1e-3)
+    assert out["map"] < 0.8  # fails at IoU>=0.85 thresholds
+
+
+def test_missed_gt_lowers_recall():
+    m = DetMetrics(nc=1)
+    gt = np.asarray([[10, 10, 50, 50], [60, 60, 90, 90]], np.float32)
+    m.update(gt[:1], np.asarray([0.9]), np.zeros(1), gt, np.zeros(2))
+    out = m.compute()
+    assert out["recall"] == 0.5
+    assert out["map50"] == pytest.approx(0.5, abs=0.01)
+
+
+def test_resample_segments():
+    poly = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    out = resample_segments([poly], n=100)[0]
+    assert out.shape == (100, 2)
+    assert out.min() >= 0 and out.max() <= 1
+    boxes = segments2boxes([poly])
+    np.testing.assert_allclose(boxes[0], [0.5, 0.5, 1, 1])
+
+
+def test_validator_on_synthetic(tmp_path):
+    from yolou_tpu.data import synthetic
+    from yolou_tpu.engine.validator import validate_detector
+    from .common import cached_init
+
+    root = str(tmp_path / "d")
+    synthetic.generate(root, {"val": 4}, size=96, seed=2)
+    model, variables = cached_init("yolov12", "n", task="segment", ch=4,
+                                   nc=1, imgsz=96)
+    out = validate_detector(model, variables,
+                            os.path.join(root, "images", "val"),
+                            imgsz=96, batch_size=4)
+    for k in ("precision", "recall", "map50", "map"):
+        assert np.isfinite(out[k])  # random weights: values near 0 are fine
+
+
+def test_predictor_pil_and_retina(tmp_path, rng):
+    from PIL import Image
+    from yolou_tpu.engine.predictor import Predictor, load_source
+    from .common import cached_init
+
+    img = Image.fromarray(rng.integers(0, 255, (96, 96, 4),
+                                       dtype=np.uint8).astype(np.uint8), "RGBA")
+    items = load_source(img, channels=4)
+    assert items[0][1].shape == (96, 96, 4)
+    items3 = load_source([img, img], channels=3)
+    assert items3[0][1].shape == (96, 96, 3)
+
+    model, variables = cached_init("yolov12", "n", task="segment", ch=4,
+                                   nc=1, imgsz=96)
+    pred = Predictor(model, variables, imgsz=96, channels=4, batch_size=2,
+                     conf=0.001, retina_masks=True)
+    arr = rng.integers(0, 255, (2, 96, 96, 4), dtype=np.uint8)
+    results = pred(np.asarray(arr))
+    assert len(results) == 2
+    for r in results:
+        if r.masks is not None and len(r.masks):
+            assert r.masks.data.shape[-2:] == (96, 96)

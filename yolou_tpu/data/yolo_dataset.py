@@ -61,7 +61,7 @@ class YoloSegDataset:
     polygons list) with polygons in normalized [0,1] coords."""
 
     def __init__(self, img_dir: str, imgsz: int = 160, channels: int = 4,
-                 cache: bool = True):
+                 cache: bool = True, cache_images: bool = False):
         self.img_dir = img_dir
         self.imgsz = imgsz
         self.channels = channels
@@ -71,6 +71,10 @@ class YoloSegDataset:
         if not self.files:
             raise FileNotFoundError(f"no images in {img_dir}")
         self.labels = self._load_labels(cache)
+        # RAM image cache (custom_base.py:228-314 capability): decode once
+        self.cache_images = cache_images
+        self._img_cache: Dict[int, np.ndarray] = {}
+        self._mask_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
 
     def _cache_path(self) -> str:
         return os.path.join(self.img_dir, ".labels.cache.npz")
@@ -107,6 +111,8 @@ class YoloSegDataset:
         return len(self.files)
 
     def load_image(self, i: int) -> np.ndarray:
+        if self.cache_images and i in self._img_cache:
+            return self._img_cache[i]
         flag = cv2.IMREAD_UNCHANGED if self.channels != 1 else cv2.IMREAD_GRAYSCALE
         img = cv2.imread(self.files[i], flag)
         if img is None:
@@ -126,10 +132,14 @@ class YoloSegDataset:
                              interpolation=cv2.INTER_LINEAR)
             if img.ndim == 2:
                 img = img[..., None]
+        if self.cache_images:
+            self._img_cache[i] = img
         return img
 
     def rasterize_instances(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
         """Per-instance binary masks at imgsz: (n, S, S) uint8 + cls (n,)."""
+        if self.cache_images and i in self._mask_cache:
+            return self._mask_cache[i]
         s = self.imgsz
         items = self.labels[i]
         masks = np.zeros((len(items), s, s), np.uint8)
@@ -138,6 +148,8 @@ class YoloSegDataset:
             cls[j] = c
             pts = np.round(poly * s).astype(np.int32)
             cv2.fillPoly(masks[j], [pts], 1)
+        if self.cache_images:
+            self._mask_cache[i] = (masks, cls)
         return masks, cls
 
     def item(self, i: int) -> Dict[str, np.ndarray]:

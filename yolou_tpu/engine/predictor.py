@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..models.yolo import YOLOModel
 from ..ops.letterbox import letterbox_batch
-from ..ops.masks import process_mask
+from ..ops.masks import process_mask, process_mask_native
 from ..ops.nms import non_max_suppression
 from ..ops import boxes as box_ops
 from .results import Boxes, Masks, Results
@@ -71,7 +71,25 @@ def load_source(source: Source, channels: int = 4) -> List[Tuple[str, np.ndarray
             img = img[..., None]
         return img
 
+    def from_pil(img) -> np.ndarray:
+        """PIL ingestion with the reference's RGBA mode for multi-channel
+        (custom_load_pil_and_numpy.py:44) and RGB->BGR reversal (line 56)."""
+        mode = "RGBA" if channels >= 4 else ("L" if channels == 1 else "RGB")
+        arr = np.asarray(img.convert(mode))
+        if arr.ndim == 2:
+            return arr[..., None]
+        if arr.shape[-1] >= 3:  # RGB(A) -> BGR(A)
+            arr = np.concatenate([arr[..., :3][..., ::-1], arr[..., 3:]], axis=-1)
+        return arr
+
     items: List[Tuple[str, np.ndarray]] = []
+    try:
+        from PIL import Image as _PILImage
+    except ImportError:  # pragma: no cover
+        _PILImage = None
+    if _PILImage is not None and isinstance(source, _PILImage.Image):
+        items.append(("pil_0", from_pil(source)))
+        source = []
     if isinstance(source, np.ndarray):
         arrs = source if source.ndim == 4 else source[None]
         for i, a in enumerate(arrs):
@@ -99,6 +117,8 @@ def load_source(source: Source, channels: int = 4) -> List[Tuple[str, np.ndarray
         for i, s in enumerate(source):
             if isinstance(s, np.ndarray):
                 items.append((f"array_{i}", s))
+            elif _PILImage is not None and isinstance(s, _PILImage.Image):
+                items.append((f"pil_{i}", from_pil(s)))
             else:
                 items.append((s, read(s)))
     # channel harmonization
@@ -121,7 +141,7 @@ class Predictor:
                  channels: int = 4, conf: float = 0.25, iou: float = 0.45,
                  max_det: int = 300, batch_size: int = 16,
                  names: Optional[Dict[int, str]] = None,
-                 keep_orig_images: bool = True):
+                 keep_orig_images: bool = True, retina_masks: bool = False):
         self.model = model
         self.variables = variables
         self.imgsz = imgsz
@@ -130,6 +150,7 @@ class Predictor:
         self.task = model.spec.task
         self.names = names or {i: str(i) for i in range(model.spec.nc)}
         self.keep_orig_images = keep_orig_images
+        self.retina_masks = retina_masks
         nm = model.spec.nm if self.task == "segment" else 0
 
         @jax.jit
@@ -140,7 +161,7 @@ class Predictor:
                                        iou_thres=iou, max_det=max_det,
                                        nc=model.spec.nc)
             masks = None
-            if self.task == "segment":
+            if self.task == "segment" and not retina_masks:
                 masks = jax.vmap(
                     lambda proto, coefs, bx: process_mask(
                         proto, coefs, bx, (imgsz, imgsz), upsample=True)
@@ -148,6 +169,23 @@ class Predictor:
             return dets, masks, out
 
         self._infer = infer
+
+        @partial(jax.jit, static_argnames=("orig_hw",))
+        def infer_retina(variables, imgs_u8, orig_hw):
+            """Retina-mask path: full-resolution masks in original-image
+            coordinates (ops.process_mask_native; construct_result's
+            retina_masks branch)."""
+            dets, _, out = infer(variables, imgs_u8)
+            scaled = jax.vmap(lambda b: box_ops.scale_boxes(
+                (imgsz, imgsz), b, orig_hw))(dets.boxes)
+            masks = jax.vmap(
+                lambda proto, coefs, bx: process_mask_native(
+                    proto, coefs, bx, orig_hw, (imgsz, imgsz))
+            )(out.protos, dets.extra, scaled)
+            dets = dets._replace(boxes=scaled)
+            return dets, masks, out
+
+        self._infer_retina = infer_retina
 
         @jax.jit
         def raw(variables, imgs):
@@ -169,7 +207,12 @@ class Predictor:
             while len(chunk) < self.batch_size:  # pad count with first element
                 chunk.append(chunk[0])
             imgs = np.stack([c[1] for c in chunk])
-            dets, masks, _ = self._infer(self.variables, jnp.asarray(imgs))
+            pre_scaled = self.retina_masks and self.task == "segment"
+            if pre_scaled:
+                dets, masks, _ = self._infer_retina(
+                    self.variables, jnp.asarray(imgs), tuple(imgs.shape[1:3]))
+            else:
+                dets, masks, _ = self._infer(self.variables, jnp.asarray(imgs))
             dets_np = jax.device_get(dets)
             masks_np = np.asarray(masks) if masks is not None else None
             for i in range(n_real):
@@ -177,10 +220,12 @@ class Predictor:
                 results.append(self._build_result(
                     path, orig, dets_np.boxes[i], dets_np.conf[i],
                     dets_np.cls[i], dets_np.valid[i],
-                    masks_np[i] if masks_np is not None else None))
+                    masks_np[i] if masks_np is not None else None,
+                    pre_scaled=pre_scaled))
         return results
 
-    def _build_result(self, path, orig, boxes, conf, cls, valid, masks) -> Results:
+    def _build_result(self, path, orig, boxes, conf, cls, valid, masks,
+                      pre_scaled: bool = False) -> Results:
         n = int(valid.sum())
         boxes = np.asarray(boxes[:n], np.float32)
         conf = np.asarray(conf[:n], np.float32)
@@ -190,7 +235,7 @@ class Predictor:
             m = np.asarray(masks[:n], np.float32)
             keep = m.sum((-2, -1)) > 0      # drop empty masks (predictor parity)
             boxes, conf, cls, m = boxes[keep], conf[keep], cls[keep], m[keep]
-            if m.size:
+            if m.size and not pre_scaled:
                 mh, mw = m.shape[-2:]
                 oh, ow = orig.shape[:2]
                 if (mh, mw) != (oh, ow):
@@ -207,8 +252,11 @@ class Predictor:
                     except ImportError:  # pragma: no cover
                         pass
             mask_out = Masks(m)
-        scaled = np.asarray(box_ops.scale_boxes(
-            (self.imgsz, self.imgsz), jnp.asarray(boxes), orig.shape[:2]))
+        if pre_scaled:
+            scaled = boxes
+        else:
+            scaled = np.asarray(box_ops.scale_boxes(
+                (self.imgsz, self.imgsz), jnp.asarray(boxes), orig.shape[:2]))
         data = np.concatenate([scaled, conf[:, None], cls[:, None]], axis=1)
         return Results(orig_img=orig if self.keep_orig_images else None,
                        path=path, names=self.names, boxes=Boxes(data),

@@ -38,6 +38,32 @@ from ..parallel import mesh as meshlib
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 
 
+def plot_history(history: Dict[str, list], save_path: str,
+                 filename: str = "plot.png") -> None:
+    """Plot every metric series to one PNG (reference plot_loss_curves,
+    train.py:155-195: auto-discovered keys, colour cycle, legend, grid)."""
+    import itertools
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(save_path, exist_ok=True)
+    plt.figure(figsize=(10, 6))
+    colours = itertools.cycle(
+        ["#1f77b4", "#ff7f0e", "#2ca02c", "#d62728", "#9467bd",
+         "#8c564b", "#e377c2", "#7f7f7f", "#bcbd22", "#17becf"])
+    for key in sorted(history.keys()):
+        plt.plot(history[key], label=key.replace("_", " ").title(),
+                 color=next(colours))
+    plt.title("Training History")
+    plt.xlabel("Epoch")
+    plt.ylabel("Value")
+    plt.legend()
+    plt.grid(True)
+    plt.savefig(os.path.join(save_path, filename))
+    plt.close()
+
+
 @dataclasses.dataclass
 class DecoderTrainConfig:
     image_size: int = 160
@@ -263,6 +289,10 @@ class DecoderTrainer:
                 break
 
         self._save(os.path.join(weights_dir, "last.ckpt"))
+        try:
+            plot_history(self.history, run_dir)
+        except Exception:
+            pass
         return self.history
 
     def _save(self, path: str) -> None:
@@ -276,3 +306,7 @@ class DecoderTrainer:
         except Exception:
             with open(os.path.join(run_dir, "history.json"), "w") as f:
                 json.dump(self.history, f)
+
+    def plot_history(self, save_path: str, filename: str = "plot.png") -> None:
+        """All-metric training curves PNG (train.py:155-195 equivalent)."""
+        plot_history(self.history, save_path, filename)

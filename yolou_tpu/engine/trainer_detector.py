@@ -173,7 +173,8 @@ class DetectorTrainer:
         cfg = self.cfg
         img_dir = self.data_cfg.split_dir("train")
         ds = YoloSegDataset(img_dir, imgsz=cfg.imgsz,
-                            channels=self.data_cfg.channels)
+                            channels=self.data_cfg.channels,
+                            cache_images=True)
         steps_per_epoch = max(1, len(ds) // cfg.batch_size)
         self.ensure_ready(steps_per_epoch)
 

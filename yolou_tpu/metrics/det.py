@@ -1,0 +1,112 @@
+"""Detection metrics: precision / recall / mAP50 / mAP50-95 (host-side numpy).
+
+The reference's detector stage inherits its validator from Ultralytics
+(BaseTrainer eval-during-train, SURVEY.md §2.2); this module owns that
+capability: confidence-sorted greedy matching at 10 IoU thresholds and
+continuous-interpolation average precision.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+IOUV = np.linspace(0.5, 0.95, 10)
+
+
+def box_iou_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(N,4) x (M,4) xyxy -> (N,M) IoU."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float32)
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = np.clip(a[:, 2] - a[:, 0], 0, None) * np.clip(a[:, 3] - a[:, 1], 0, None)
+    area_b = np.clip(b[:, 2] - b[:, 0], 0, None) * np.clip(b[:, 3] - b[:, 1], 0, None)
+    return inter / (area_a[:, None] + area_b[None, :] - inter + 1e-7)
+
+
+def match_predictions(pred_boxes: np.ndarray, pred_cls: np.ndarray,
+                      gt_boxes: np.ndarray, gt_cls: np.ndarray) -> np.ndarray:
+    """TP matrix (n_pred, len(IOUV)): greedy one-match-per-GT, class-aware.
+    Predictions must be sorted by descending confidence."""
+    tp = np.zeros((len(pred_boxes), len(IOUV)), bool)
+    if len(gt_boxes) == 0 or len(pred_boxes) == 0:
+        return tp
+    iou = box_iou_np(pred_boxes, gt_boxes)
+    iou = iou * (pred_cls[:, None] == gt_cls[None, :])
+    for ti, t in enumerate(IOUV):
+        taken = np.zeros(len(gt_boxes), bool)
+        for pi in range(len(pred_boxes)):
+            j = int(np.argmax(iou[pi] * ~taken))
+            if iou[pi, j] >= t and not taken[j]:
+                tp[pi, ti] = True
+                taken[j] = True
+    return tp
+
+
+def average_precision(tp: np.ndarray, conf: np.ndarray, n_gt: int) -> np.ndarray:
+    """AP per IoU threshold from TP flags (continuous PR-envelope integral)."""
+    if n_gt == 0 or len(tp) == 0:
+        return np.zeros(tp.shape[1] if tp.ndim == 2 else len(IOUV))
+    order = np.argsort(-conf)
+    tp = tp[order]
+    aps = []
+    for ti in range(tp.shape[1]):
+        tpc = np.cumsum(tp[:, ti])
+        fpc = np.cumsum(~tp[:, ti])
+        recall = tpc / n_gt
+        precision = tpc / np.maximum(tpc + fpc, 1e-9)
+        r = np.concatenate([[0.0], recall, [recall[-1] + 1e-3]])
+        p = np.concatenate([[1.0], precision, [0.0]])
+        p = np.flip(np.maximum.accumulate(np.flip(p)))
+        aps.append(float(np.trapezoid(p, r)))
+    return np.asarray(aps)
+
+
+class DetMetrics:
+    """Accumulator over images -> precision/recall/mAP50/mAP50-95."""
+
+    def __init__(self, nc: int = 1):
+        self.nc = nc
+        self.tps: List[np.ndarray] = []
+        self.confs: List[np.ndarray] = []
+        self.clses: List[np.ndarray] = []
+        self.n_gt = np.zeros(nc, np.int64)
+
+    def update(self, pred_boxes, pred_conf, pred_cls, gt_boxes, gt_cls):
+        order = np.argsort(-np.asarray(pred_conf))
+        pb = np.asarray(pred_boxes)[order]
+        pc = np.asarray(pred_cls)[order]
+        self.tps.append(match_predictions(pb, pc, np.asarray(gt_boxes),
+                                          np.asarray(gt_cls)))
+        self.confs.append(np.asarray(pred_conf)[order])
+        self.clses.append(pc)
+        for c in np.asarray(gt_cls).astype(int):
+            self.n_gt[c] += 1
+
+    def compute(self) -> Dict[str, float]:
+        if not self.tps:
+            return {"precision": 0.0, "recall": 0.0, "map50": 0.0, "map": 0.0}
+        tp = np.concatenate(self.tps)
+        conf = np.concatenate(self.confs)
+        cls = np.concatenate(self.clses)
+        ap_per_class = []
+        p50s, r50s = [], []
+        for c in range(self.nc):
+            sel = cls == c
+            ap = average_precision(tp[sel], conf[sel], int(self.n_gt[c]))
+            if self.n_gt[c] > 0:
+                ap_per_class.append(ap)
+                n_tp50 = int(tp[sel][:, 0].sum())
+                p50s.append(n_tp50 / max(int(sel.sum()), 1))
+                r50s.append(n_tp50 / max(int(self.n_gt[c]), 1))
+        if not ap_per_class:
+            return {"precision": 0.0, "recall": 0.0, "map50": 0.0, "map": 0.0}
+        ap = np.stack(ap_per_class)
+        return {"precision": float(np.mean(p50s)),
+                "recall": float(np.mean(r50s)),
+                "map50": float(ap[:, 0].mean()),
+                "map": float(ap.mean())}

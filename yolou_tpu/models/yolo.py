@@ -120,10 +120,14 @@ def parse_model_spec(arch: str = "yolov12", variant: str = "n", nc: int = 1,
 
 
 class YOLOModel(nn.Module):
-    """Graph executor for a parsed ModelSpec (NHWC, jit-friendly)."""
+    """Graph executor for a parsed ModelSpec (NHWC, jit-friendly).
+
+    use_pallas routes area-attention through the fused Pallas kernel.
+    """
 
     spec: ModelSpec
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, taps: Sequence[int] = (),
@@ -164,6 +168,7 @@ class YOLOModel(nn.Module):
                 area = layer.args[2] if len(layer.args) > 2 else 1
                 area = area if isinstance(area, int) and area > 0 else 1
                 y = A2C2f(c2, layer.repeats, a2, area, dtype=self.dtype,
+                          use_pallas=self.use_pallas,
                           name=f"model_{i}")(get(layer.frm[0]), train)
             elif layer.block == "C3Ghost":
                 y = C3Ghost(layer.args[0], layer.repeats, dtype=self.dtype,
@@ -205,8 +210,10 @@ class YOLOModel(nn.Module):
 
 
 def build_yolo(arch: str = "yolov12", variant: str = "n", nc: int = 1, ch: int = 4,
-               task: str = "detect", dtype: Dtype = jnp.float32) -> YOLOModel:
-    return YOLOModel(spec=parse_model_spec(arch, variant, nc, ch, task), dtype=dtype)
+               task: str = "detect", dtype: Dtype = jnp.float32,
+               use_pallas: bool = False) -> YOLOModel:
+    return YOLOModel(spec=parse_model_spec(arch, variant, nc, ch, task),
+                     dtype=dtype, use_pallas=use_pallas)
 
 
 def init_model(model: YOLOModel, rng: jax.Array, imgsz: int = 160, ch: int = 4,

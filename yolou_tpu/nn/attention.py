@@ -23,12 +23,17 @@ Dtype = Any
 
 
 class AAttn(nn.Module):
-    """Area attention: qkv 1x1 conv, banded softmax attention, dw7x7 positional bias."""
+    """Area attention: qkv 1x1 conv, banded softmax attention, dw7x7 positional bias.
+
+    use_pallas=True routes the banded softmax-attention through the fused
+    Pallas kernel (ops/pallas_attn.py) — scores/softmax stay in VMEM.
+    """
 
     dim: int
     num_heads: int
     area: int = 1
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -47,11 +52,19 @@ class AAttn(nn.Module):
             return t.reshape(b, nn_, self.num_heads, hd).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                          preferred_element_type=jnp.float32) * (hd ** -0.5)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
+        if self.use_pallas:
+            from ..ops.pallas_attn import area_attention
+
+            b_, h_, n_, d_ = q.shape
+            flat = lambda t: t.reshape(b_ * h_, n_, d_)
+            out = area_attention(flat(q), flat(k), flat(v))
+            out = out.reshape(b_, h_, n_, d_).astype(self.dtype)
+        else:
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                              preferred_element_type=jnp.float32) * (hd ** -0.5)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                             preferred_element_type=jnp.float32).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, H, W, self.dim)
 
         pe = ConvBNAct(self.dim, 7, g=self.dim, act=False, dtype=self.dtype,
@@ -69,11 +82,12 @@ class ABlock(nn.Module):
     mlp_ratio: float = 2.0
     area: int = 1
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x + AAttn(self.dim, self.num_heads, self.area, dtype=self.dtype,
-                      name="attn")(x, train)
+                      use_pallas=self.use_pallas, name="attn")(x, train)
         h = int(self.dim * self.mlp_ratio)
         y = ConvBNAct(h, 1, act=True, dtype=self.dtype, name="mlp1")(x, train)
         y = ConvBNAct(self.dim, 1, act=False, dtype=self.dtype, name="mlp2")(y, train)
@@ -97,6 +111,7 @@ class A2C2f(nn.Module):
     g: int = 1
     shortcut: bool = True
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -108,9 +123,9 @@ class A2C2f(nn.Module):
             if self.a2:
                 z = ys[-1]
                 z = ABlock(c_, num_heads, self.mlp_ratio, self.area, dtype=self.dtype,
-                           name=f"m{i}_0")(z, train)
+                           use_pallas=self.use_pallas, name=f"m{i}_0")(z, train)
                 z = ABlock(c_, num_heads, self.mlp_ratio, self.area, dtype=self.dtype,
-                           name=f"m{i}_1")(z, train)
+                           use_pallas=self.use_pallas, name=f"m{i}_1")(z, train)
             else:
                 z = C3k(c_, 2, self.shortcut, self.g, dtype=self.dtype,
                         name=f"m{i}")(ys[-1], train)
