@@ -1,0 +1,101 @@
+"""Model I/O round-trip, letterbox geometry, v8 family build, checkpoint resume."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from yolou_tpu.ops.letterbox import letterbox_batch, resize_normalize
+from yolou_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from yolou_tpu.utils.model_io import load_model, save_model
+
+from .common import cached_init
+
+
+def test_model_io_round_trip(tmp_path):
+    _, variables = cached_init("yolov12", "n", task="detect", ch=4, nc=1)
+    p = str(tmp_path / "model.ckpt")
+    save_model(p, variables, nc=1, ch=4, task="detect")
+    model2, v2 = load_model(p)
+    assert model2.spec.nc == 1 and model2.spec.task == "detect"
+    w1 = variables["params"]["model_0"]["conv"]["kernel"]
+    w2 = v2["params"]["model_0"]["conv"]["kernel"]
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2))
+    out = jax.jit(lambda v, x: model2.apply(v, x, train=False).preds)(
+        v2, jnp.zeros((1, 160, 160, 4)))
+    assert out.shape[0] == 1
+
+
+def test_checkpoint_round_trip(tmp_path):
+    tree = {"a": np.arange(6, dtype=np.float32).reshape(2, 3),
+            "b": {"c": np.float32(2.5)}}
+    p = str(tmp_path / "t.ckpt")
+    save_checkpoint(p, tree)
+    out = load_checkpoint(p)
+    np.testing.assert_allclose(out["a"], tree["a"])
+    assert float(out["b"]["c"]) == 2.5
+
+
+def test_letterbox_geometry():
+    # 100x60 -> 128: gain=1.28? min(128/100,128/60)=1.28 -> resized 128x77
+    img = np.full((1, 100, 60, 4), 255, np.uint8)
+    out = np.asarray(letterbox_batch(jnp.asarray(img), (128, 128)))
+    assert out.shape == (1, 128, 128, 4)
+    # padding columns are gray 114/255
+    assert np.allclose(out[0, :, 0, :], 114 / 255, atol=1e-3)
+    # center content is the image
+    assert np.allclose(out[0, 64, 64, :], 1.0, atol=1e-2)
+    sq = np.asarray(resize_normalize(jnp.asarray(img), 64))
+    assert sq.shape == (1, 64, 64, 4)
+    assert np.allclose(sq, 1.0, atol=1e-3)
+
+
+def test_yolov8_family_builds():
+    model, variables = cached_init("yolov8", "n", task="detect", ch=3, nc=80,
+                                   imgsz=64)
+    out = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+        variables, jnp.zeros((1, 64, 64, 3)))
+    assert len(out.raw) == 3
+    assert out.preds.shape[-1] == 4 + 80
+
+
+def test_decoder_trainer_resume(tmp_path):
+    """Checkpoint -> restore -> state matches (the capability the reference
+    stubs out; SURVEY §2.4.5)."""
+    import os
+    from yolou_tpu.data import synthetic
+    from yolou_tpu.engine.trainer_decoder import (DecoderTrainConfig,
+                                                  DecoderTrainer, TrainState)
+    from yolou_tpu.models.segpp import YOLOSegPP
+    from yolou_tpu.models.yolo import parse_model_spec
+
+    root = str(tmp_path / "d")
+    synthetic.generate(root, {"train": 4, "val": 2}, size=96, seed=1)
+    names = [os.path.splitext(f)[0] for s in ("train", "val")
+             for f in os.listdir(os.path.join(root, "images", s))]
+    for split in ("train", "val"):
+        ns = [os.path.splitext(f)[0] for f in
+              os.listdir(os.path.join(root, "images", split))]
+        # objectmap spatial size = imgsz/8 (12x12 at 96; "20" in the filename
+        # is the reference's naming convention, not the size)
+        synthetic.write_objectmaps(
+            root, {n: np.zeros((12, 12), np.float32) for n in ns}, split)
+
+    spec = parse_model_spec("yolov12", "n", nc=1, ch=4, task="detect")
+    model = YOLOSegPP(spec=spec)
+    v = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.key(0), jnp.zeros((1, 96, 96, 4)))
+    cfg = DecoderTrainConfig(image_size=96, batch_size=2, epochs=1,
+                             val_hd95=False, run_dir=str(tmp_path / "runs"))
+    tr = DecoderTrainer(model, jax.device_get(v), root, cfg)
+    tr.train()
+    runs = os.listdir(str(tmp_path / "runs"))
+    ckpt = os.path.join(str(tmp_path / "runs"), runs[0], "weights", "last.ckpt")
+
+    tr2 = DecoderTrainer(model, jax.device_get(v), root, cfg)
+    tr2.ensure_ready(2)
+    restored = load_checkpoint(ckpt, jax.device_get(tr2.state._asdict()))
+    tr2.state = TrainState(**restored)
+    a = jax.tree_util.tree_leaves(tr.state.params)[0]
+    b = jax.tree_util.tree_leaves(tr2.state.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert int(tr2.state.step) == int(tr.state.step)

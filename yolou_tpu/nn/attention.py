@@ -47,25 +47,30 @@ class AAttn(nn.Module):
         tokens = qkv.reshape(B * area, n // area, 3 * self.dim)
         q, k, v = jnp.split(tokens, 3, axis=-1)
 
-        def heads(t):  # (b, n, C) -> (b, heads, n, hd)
-            b, nn_, _ = t.shape
-            return t.reshape(b, nn_, self.num_heads, hd).transpose(0, 2, 1, 3)
-
-        q, k, v = heads(q), heads(k), heads(v)
         if self.use_pallas:
             from ..ops.pallas_attn import area_attention
 
-            b_, h_, n_, d_ = q.shape
-            flat = lambda t: t.reshape(b_ * h_, n_, d_)
+            shp = (B * area, n // area, self.num_heads, hd)
+            def flat(t):  # (b, n, heads, hd) -> (b*heads, n, hd)
+                return t.reshape(shp).transpose(0, 2, 1, 3).reshape(
+                    -1, shp[1], hd)
+
             out = area_attention(flat(q), flat(k), flat(v))
-            out = out.reshape(b_, h_, n_, d_).astype(self.dtype)
+            out = (out.reshape(shp[0], self.num_heads, shp[1], hd)
+                   .transpose(0, 2, 1, 3).reshape(B, H, W, self.dim)
+                   .astype(self.dtype))
         else:
-            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+            def heads(t):  # (b, n, C) -> (b, heads, n, hd)
+                b, nn_, _ = t.shape
+                return t.reshape(b, nn_, self.num_heads, hd).transpose(0, 2, 1, 3)
+
+            qh, kh, vh = heads(q), heads(k), heads(v)
+            attn = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
                               preferred_element_type=jnp.float32) * (hd ** -0.5)
             attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh,
                              preferred_element_type=jnp.float32).astype(self.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(B, H, W, self.dim)
+            out = out.transpose(0, 2, 1, 3).reshape(B, H, W, self.dim)
 
         pe = ConvBNAct(self.dim, 7, g=self.dim, act=False, dtype=self.dtype,
                        name="pe")(v_spatial, train)

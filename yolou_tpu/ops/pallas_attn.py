@@ -27,18 +27,78 @@ except Exception:  # pragma: no cover
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0]                      # (N, hd)
-    k = k_ref[0]
-    v = v_ref[0]
+    q = q_ref[:]                      # (GB, N, hd)
+    k = k_ref[:]
+    v = v_ref[:]
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale        # (N, N)
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale        # (GB, N, N)
     s = s - jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.dot(p.astype(v.dtype), v,
-                preferred_element_type=jnp.float32)        # (N, hd)
-    o_ref[0] = o.astype(o_ref.dtype)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                # (GB, N, hd)
+    o_ref[:] = o.astype(o_ref.dtype)
+
+
+def _band_block(g: int, n: int, vmem_budget: int = 8 * 2 ** 20) -> int:
+    """Bands per grid cell: amortize grid/DMA overhead, stay under a VMEM
+    budget for the (GB, N, N) score tile."""
+    gb = max(1, vmem_budget // max(n * n * 4, 1))
+    gb = min(gb, 32, g)
+    while g % gb:
+        gb -= 1
+    return max(gb, 1)
+
+
+def _area_attention_fwd_impl(q, k, v, interpret):
+    g, n, hd = q.shape
+    scale = hd ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    gb = _band_block(g, n)
+    kern = functools.partial(_attn_kernel, scale=scale)
+    block = pl.BlockSpec((gb, n, hd), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        kern,
+        grid=(g // gb,),
+        in_specs=[block, block, block],
+        out_specs=block,
+        out_shape=jax.ShapeDtypeStruct((g, n, hd), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _area_attention(q, k, v, interpret):
+    return _area_attention_fwd_impl(q, k, v, interpret)
+
+
+def _aa_fwd(q, k, v, interpret):
+    return _area_attention_fwd_impl(q, k, v, interpret), (q, k, v)
+
+
+def _aa_bwd(interpret, res, do):
+    """Standard attention backward in XLA (fp32 softmax recompute) — the
+    forward stays a Pallas kernel, training pays one extra recompute."""
+    q, k, v = res
+    hd = q.shape[-1]
+    scale = hd ** -0.5
+    s = jnp.einsum("gqd,gkd->gqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    do32 = do.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dv = jnp.einsum("gqk,gqd->gkd", p, do32)
+    dp = jnp.einsum("gqd,gkd->gqk", do32, v32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("gqk,gkd->gqd", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("gqk,gqd->gkd", ds, q.astype(jnp.float32)) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_area_attention.defvjp(_aa_fwd, _aa_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -46,23 +106,12 @@ def area_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                    interpret: bool | None = None) -> jax.Array:
     """Softmax attention over fused (G, N, hd) bands; G = batch*area*heads.
 
-    Equivalent to softmax(q k^T / sqrt(hd)) v per leading index, computed
-    band-at-a-time in VMEM.
+    Equivalent to softmax(q k^T / sqrt(hd)) v per leading index. Bands are
+    processed GB-at-a-time per grid cell (batched MXU dots) — single-band
+    cells are DMA-latency-bound at these sizes. Differentiable via a custom
+    VJP (XLA backward).
     """
-    g, n, hd = q.shape
-    scale = hd ** -0.5
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    kern = functools.partial(_attn_kernel, scale=scale)
-    block = pl.BlockSpec((1, n, hd), lambda i: (i, 0, 0))
-    return pl.pallas_call(
-        kern,
-        grid=(g,),
-        in_specs=[block, block, block],
-        out_specs=block,
-        out_shape=jax.ShapeDtypeStruct((g, n, hd), q.dtype),
-        interpret=interpret,
-    )(q, k, v)
+    return _area_attention(q, k, v, interpret)
 
 
 def area_attention_reference(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
