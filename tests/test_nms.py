@@ -80,6 +80,28 @@ def test_class_offset_separates_classes(rng):
     assert int(out_ag.valid.sum()) == 1
 
 
+def test_greedy_chain_convergence():
+    """Adversarial suppression chain: boxes shifted in small steps so each
+    overlaps the next — greedy keeps every other one; the Jacobi fixpoint
+    must converge to exactly that alternating pattern (depth ~ chain length)."""
+    n = 60
+    boxes = np.zeros((n, 4 + 1), np.float32)
+    for i in range(n):
+        x = 50 + i * 10.0   # 40-px boxes, 10-px steps: IoU(i,i+1)=0.6>0.45
+        boxes[i] = [x + 20, 100, 40, 40, 0.9 - i * 0.005]
+    out = non_max_suppression(jnp.asarray(boxes[None]), conf_thres=0.25,
+                              iou_thres=0.45, method="greedy")
+    conf = boxes[:, 4]
+    xyxy = np.concatenate([boxes[:, :2] - boxes[:, 2:4] / 2,
+                           boxes[:, :2] + boxes[:, 2:4] / 2], 1)
+    keep = ref_greedy_nms(xyxy, conf, 0.45)
+    got_conf = np.asarray(out.conf[0])[np.asarray(out.valid[0])]
+    assert len(got_conf) == len(keep)
+    np.testing.assert_allclose(got_conf, conf[keep], rtol=1e-6)
+    # sanity: chain really alternates
+    assert len(keep) == n // 2
+
+
 def test_extra_coefs_passthrough(rng):
     p = make_preds(rng, n=50)
     coefs = rng.normal(size=(50, 32)).astype(np.float32)
