@@ -59,6 +59,7 @@ class DetectorTrainConfig:
     seed: int = 0
     run_dir: str = "runs_detector"
     optimizer: str = "sgd"          # "sgd" (ultralytics auto default) | "adamw"
+    val_every: int = 0              # eval-during-train: mAP on val every N epochs (0 = off)
 
 
 class DetTrainState(NamedTuple):
@@ -222,9 +223,22 @@ class DetectorTrainer:
             for k in ep:
                 self.history[k].append(ep[k] / max(nb, 1))
             self.history["lr"].append(float(self._lr_fn(self.state.step)))
-            print(f"epoch {epoch + 1}/{cfg.epochs} "
-                  + " ".join(f"{k}={ep[k] / max(nb, 1):.4f}" for k in ep)
-                  + f" [{time.time() - t0:.1f}s, mosaic={mosaic_on}]")
+            msg = (f"epoch {epoch + 1}/{cfg.epochs} "
+                   + " ".join(f"{k}={ep[k] / max(nb, 1):.4f}" for k in ep)
+                   + f" [{time.time() - t0:.1f}s, mosaic={mosaic_on}]")
+            if cfg.val_every and (epoch + 1) % cfg.val_every == 0:
+                from .validator import validate_detector
+                vm = validate_detector(
+                    self.model, self.ema_variables(),
+                    self.data_cfg.split_dir("val"), imgsz=cfg.imgsz,
+                    channels=self.data_cfg.channels,
+                    batch_size=cfg.batch_size,
+                    max_inst=cfg.max_instances)
+                self.history.setdefault("map50", []).append(vm["map50"])
+                self.history.setdefault("map", []).append(vm["map"])
+                msg += (f" | val mAP50={vm['map50']:.4f} "
+                        f"mAP50-95={vm['map']:.4f}")
+            print(msg)
             save_checkpoint(os.path.join(run_dir, "weights", "last.ckpt"),
                             jax.device_get(self.state._asdict()))
         return self.history
