@@ -99,3 +99,31 @@ def test_decoder_trainer_resume(tmp_path):
     b = jax.tree_util.tree_leaves(tr2.state.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     assert int(tr2.state.step) == int(tr.state.step)
+
+
+def test_yolo11_family_builds():
+    model, variables = cached_init("yolo11", "n", task="detect", ch=3, nc=80,
+                                   imgsz=64)
+    out = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+        variables, jnp.zeros((1, 64, 64, 3)))
+    assert len(out.raw) == 3
+    assert out.preds.shape[-1] == 4 + 80
+
+
+def test_main_module_dispatcher(capsys):
+    import yolou_tpu.__main__ as m
+    import sys
+    old = sys.argv
+    sys.argv = ["yolou_tpu", "--help"]
+    try:
+        assert m.main() == 0
+    finally:
+        sys.argv = old
+    assert "train-decoder" in capsys.readouterr().out
+
+
+def test_package_api_surface():
+    import yolou_tpu
+    assert callable(yolou_tpu.build_yolo)
+    assert yolou_tpu.Predictor is not None
+    assert yolou_tpu.DecoderTrainer is not None

@@ -89,7 +89,7 @@ def parse_model_spec(arch: str = "yolov12", variant: str = "n", nc: int = 1,
             channels.append(c2)
             if s == 2:
                 stride *= 2
-        elif block in ("C3k2", "C2f", "A2C2f", "C3Ghost", "SPPF"):
+        elif block in ("C3k2", "C2f", "A2C2f", "C3Ghost", "SPPF", "C2PSA"):
             c2 = specs.scale_channels(args[0], width, max_ch)
             extra = tuple(args[1:])
             layers.append(LayerDef(frm, n_scaled, block, (c2,) + extra))
@@ -176,6 +176,10 @@ class YOLOModel(nn.Module):
             elif layer.block == "SPPF":
                 y = SPPF(layer.args[0], layer.args[1], dtype=self.dtype,
                          name=f"model_{i}")(get(layer.frm[0]), train)
+            elif layer.block == "C2PSA":
+                from ..nn.attention import C2PSA
+                y = C2PSA(layer.args[0], layer.repeats, dtype=self.dtype,
+                          name=f"model_{i}")(get(layer.frm[0]), train)
             elif layer.block == "Upsample":
                 y = upsample2x(get(layer.frm[0]), layer.args[1])
             elif layer.block == "Concat":

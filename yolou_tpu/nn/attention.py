@@ -99,6 +99,75 @@ class ABlock(nn.Module):
         return x + y
 
 
+class PSAAttention(nn.Module):
+    """YOLO11 PSA attention: qkv with reduced key dim, dw3x3 positional bias."""
+
+    dim: int
+    num_heads: int
+    attn_ratio: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, C = x.shape
+        hd = self.dim // self.num_heads
+        kd = int(hd * self.attn_ratio)
+        h = self.dim + 2 * kd * self.num_heads
+        qkv = ConvBNAct(h, 1, act=False, dtype=self.dtype, name="qkv")(x, train)
+        n = H * W
+        t = qkv.reshape(B, n, self.num_heads, 2 * kd + hd)
+        q, k, v = jnp.split(t, [kd, 2 * kd], axis=-1)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                          preferred_element_type=jnp.float32) * (kd ** -0.5)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        out = out.reshape(B, H, W, self.dim)
+        v_spatial = v.reshape(B, H, W, self.dim)
+        pe = ConvBNAct(self.dim, 3, g=self.dim, act=False, dtype=self.dtype,
+                       name="pe")(v_spatial, train)
+        return ConvBNAct(self.dim, 1, act=False, dtype=self.dtype,
+                         name="proj")(out + pe, train)
+
+
+class PSABlock(nn.Module):
+    """PSA transformer block: x + attn(x); x + ffn(x)."""
+
+    dim: int
+    num_heads: int
+    attn_ratio: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x + PSAAttention(self.dim, self.num_heads, self.attn_ratio,
+                             dtype=self.dtype, name="attn")(x, train)
+        y = ConvBNAct(self.dim * 2, 1, dtype=self.dtype, name="ffn1")(x, train)
+        y = ConvBNAct(self.dim, 1, act=False, dtype=self.dtype,
+                      name="ffn2")(y, train)
+        return x + y
+
+
+class C2PSA(nn.Module):
+    """YOLO11's C2-style PSA stage: cv1 -> split -> PSABlocks -> concat -> cv2."""
+
+    c2: int
+    n: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = ConvBNAct(2 * c, 1, dtype=self.dtype, name="cv1")(x, train)
+        a, b = y[..., :c], y[..., c:]
+        for i in range(self.n):
+            b = PSABlock(c, max(1, c // 64), dtype=self.dtype,
+                         name=f"m{i}")(b, train)
+        return ConvBNAct(self.c2, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate([a, b], axis=-1), train)
+
+
 class A2C2f(nn.Module):
     """Area-attention C2f: cv1 -> n stages of (2x ABlock | C3k) -> concat -> cv2.
 
