@@ -100,3 +100,22 @@ def test_decoder_training_and_eval(root, detector, tmp_path):
     for k in ("dice", "precision", "recall", "images_per_sec"):
         assert np.isfinite(metrics[k]), (k, metrics)
     assert metrics["n_images"] == 4
+
+
+def test_evaluator_data_parallel(root, detector):
+    """Multi-chip (8 virtual devices) sharded evaluation."""
+    from yolou_tpu.parallel import mesh as meshlib
+
+    model, variables = detector
+    spec = parse_model_spec("yolov12", "n", nc=1, ch=4, task="detect")
+    segpp = YOLOSegPP(spec=spec, use_logits=True)
+    x = jnp.zeros((1, 160, 160, 4))
+    sv = jax.jit(lambda k, x: segpp.init(k, x, train=False))(jax.random.key(0), x)
+    params = dict(sv["params"]); params["yolo"] = variables["params"]
+    bs = dict(sv["batch_stats"]); bs["yolo"] = variables["batch_stats"]
+    sv = {"params": params, "batch_stats": bs}
+    mesh = meshlib.make_mesh(n_data=8)
+    ev = Evaluator(segpp, sv, root, image_size=160, batch_size=8, mesh=mesh)
+    m = ev.evaluate("test", with_hd95=False)
+    assert m["n_images"] == 4
+    assert np.isfinite(m["dice"])

@@ -29,12 +29,15 @@ from ..ops.nms import non_max_suppression
 class Evaluator:
     def __init__(self, model: YOLOSegPP, variables: Dict, data_root: str,
                  image_size: int = 160, batch_size: int = 16,
-                 conf: float = 0.25, iou: float = 0.45, max_det: int = 300):
+                 conf: float = 0.25, iou: float = 0.45, max_det: int = 300,
+                 mesh=None):
+        """mesh: optional jax Mesh — shards eval batches over the 'data' axis
+        (multi-chip evaluation; params replicate, XLA gathers results)."""
         self.model = model
-        self.variables = variables
         self.data_root = data_root
         self.image_size = image_size
         self.batch_size = batch_size
+        self.mesh = mesh
 
         @jax.jit
         def step(variables, img):
@@ -45,6 +48,14 @@ class Evaluator:
             return pred_bin, dets
 
         self._step = step
+        if mesh is not None:
+            from ..parallel import mesh as meshlib
+            self.variables = meshlib.replicate(mesh, variables)
+            self._shard = lambda x: jax.device_put(
+                x, meshlib.batch_sharding(mesh))
+        else:
+            self.variables = variables
+            self._shard = lambda x: x
 
     def evaluate(self, split: str = "test",
                  with_hd95: bool = True) -> Dict[str, float]:
@@ -55,7 +66,8 @@ class Evaluator:
         n_images = 0
         t0 = time.time()
         for imgs, masks, _, n_real in prefetch(ds.batches(self.batch_size)):
-            pred_bin, _ = self._step(self.variables, jnp.asarray(imgs))
+            pred_bin, _ = self._step(self.variables,
+                                     self._shard(jnp.asarray(imgs)))
             pred_bin = np.asarray(pred_bin)[:n_real]
             m = masks[:n_real]
             d = np.asarray(dice_binary(jnp.asarray(pred_bin[..., 0]),
