@@ -127,3 +127,25 @@ def test_package_api_surface():
     assert callable(yolou_tpu.build_yolo)
     assert yolou_tpu.Predictor is not None
     assert yolou_tpu.DecoderTrainer is not None
+
+
+def test_orbax_checkpoint_round_trip(tmp_path):
+    from yolou_tpu.utils.checkpoint import (load_checkpoint_orbax,
+                                            save_checkpoint_orbax)
+    tree = {"w": np.arange(12, dtype=np.float32).reshape(3, 4),
+            "nested": {"b": np.ones(5, np.float32)}}
+    p = str(tmp_path / "orbax_ckpt")
+    save_checkpoint_orbax(p, tree)
+    out = load_checkpoint_orbax(p)
+    np.testing.assert_allclose(out["w"], tree["w"])
+    np.testing.assert_allclose(out["nested"]["b"], tree["nested"]["b"])
+
+
+def test_rect_groups():
+    from yolou_tpu.data.yolo_dataset import rect_groups
+    shapes = [(100, 200), (200, 100), (100, 100), (150, 100), (100, 150),
+              (120, 100)]
+    groups = rect_groups(shapes, 2)
+    assert sum(len(g) for g in groups) == 6
+    ars = [shapes[i][0] / shapes[i][1] for g in groups for i in g]
+    assert ars == sorted(ars)

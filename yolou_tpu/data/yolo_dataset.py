@@ -231,6 +231,15 @@ def collate_idmap(items: List[Dict[str, np.ndarray]], max_inst: int) -> Dict[str
     return {"img": imgs, "idmap": idmap, "cls": cls, "valid": valid}
 
 
+def rect_groups(shapes: List[Tuple[int, int]], batch_size: int) -> List[List[int]]:
+    """Aspect-ratio-sorted batch grouping (custom_base.py:316-339 rect mode):
+    images sorted by h/w so each batch letterboxes to a similar shape."""
+    ars = np.asarray([h / w for h, w in shapes])
+    order = np.argsort(ars)
+    return [list(map(int, order[i:i + batch_size]))
+            for i in range(0, len(order), batch_size)]
+
+
 def batches(ds: YoloSegDataset, batch_size: int, max_inst: int = 16,
             mask_ratio: int = 4, shuffle: bool = True, seed: int = 0,
             drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:

@@ -16,6 +16,7 @@ from flax import serialization
 
 
 def save_checkpoint(path: str, tree: Any) -> None:
+    """Single-file msgpack checkpoint (host-gathered)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     data = serialization.msgpack_serialize(
         serialization.to_state_dict(jax.device_get(tree)))
@@ -29,6 +30,27 @@ def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     with open(path, "rb") as f:
         data = f.read()
     tree = serialization.msgpack_restore(data)
+    if target is not None:
+        return serialization.from_state_dict(target, tree)
+    return tree
+
+
+def save_checkpoint_orbax(path: str, tree: Any) -> None:
+    """Orbax directory checkpoint — handles sharded (multi-chip) arrays
+    without a host gather; preferred for large DP/TP training states."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, serialization.to_state_dict(tree), force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str, target: Optional[Any] = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    tree = ckptr.restore(os.path.abspath(path))
     if target is not None:
         return serialization.from_state_dict(target, tree)
     return tree
