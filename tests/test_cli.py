@@ -1,0 +1,60 @@
+"""CLI glue tests: run the real argparse mains in-process on synthetic data."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def root(tmp_path_factory):
+    from yolou_tpu.data import synthetic
+    r = str(tmp_path_factory.mktemp("cli"))
+    synthetic.generate(r, {"train": 8, "val": 4, "test": 4}, size=96, seed=9)
+    return r
+
+
+def test_generate_objectmaps_cli(root):
+    from yolou_tpu.cli.generate_objectmaps import main
+    counts = main(["--data_dir", root, "--image_size", "96",
+                   "--batch_size", "8", "--yolo_dir", "/nonexistent.ckpt"])
+    assert counts == {"test": 4, "train": 8, "val": 4}
+    files = os.listdir(os.path.join(root, "objectmap", "val"))
+    assert len(files) == 4
+    m = np.load(os.path.join(root, "objectmap", "val", sorted(files)[0]))
+    assert m.shape == (12, 12)  # 96/8
+
+
+def test_train_decoder_and_evaluate_cli(root, tmp_path):
+    from yolou_tpu.cli.train_decoder import main as train_main
+    from yolou_tpu.cli.evaluate import main as eval_main
+
+    run_dir = str(tmp_path / "runs")
+    history = train_main([
+        "--data", root, "--imgsz", "96", "--batch", "4", "--epochs", "1",
+        "--early-stopping-start", "99", "--run-dir", run_dir,
+        "--model", "/nonexistent.ckpt"])
+    assert len(history["train_loss"]) == 1
+    final = os.path.join(run_dir, "segpp_final.ckpt")
+    assert os.path.exists(final)
+
+    metrics = eval_main(["--data", root, "--model", final, "--imgsz", "96",
+                         "--batch", "4", "--no-hd95"])
+    assert metrics["n_images"] == 4
+    assert np.isfinite(metrics["dice"])
+
+
+def test_train_detector_cli(root, tmp_path):
+    from yolou_tpu.cli.train_detector import main
+    out_ckpt = str(tmp_path / "det.ckpt")
+    history = main([
+        "--data", os.path.join(root, "data.yaml"), "--imgsz", "96",
+        "--batch", "4", "--epochs", "1", "--close-mosaic", "0",
+        "--run-dir", str(tmp_path / "rd"), "--out", out_ckpt])
+    assert len(history["loss"]) == 1
+    assert os.path.exists(out_ckpt)
+    # the saved checkpoint loads back as a segment model
+    from yolou_tpu.utils.model_io import load_model
+    model, variables = load_model(out_ckpt)
+    assert model.spec.task == "segment"
