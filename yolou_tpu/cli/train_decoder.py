@@ -28,18 +28,24 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-logits", action="store_true",
                    help="ablation: decoder without the logits bottleneck")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (the TPU mixed-precision mode; "
+                        "replaces the reference's AMP GradScaler)")
     p.add_argument("--run-dir", default="runs")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard batches over N devices (0 = single device)")
     p.add_argument("--resume", default=None)
     args = p.parse_args(argv)
 
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.bf16 else None
     det_model, det_vars = get_or_init_detector(
         args.model, nc=1, ch=4, task="detect", imgsz=args.imgsz,
         seed=args.seed)
     model, variables = build_segpp_from_detector(
         det_vars, nc=1, ch=4, use_logits=not args.no_logits,
-        imgsz=args.imgsz, seed=args.seed)
+        imgsz=args.imgsz, seed=args.seed, dtype=dtype)
 
     mesh = meshlib.make_mesh(args.data_parallel) if args.data_parallel else None
     cfg = DecoderTrainConfig(
