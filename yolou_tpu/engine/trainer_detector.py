@@ -53,6 +53,8 @@ class DetectorTrainConfig:
     warmup_bias_lr: float = 0.1
     ema_decay: float = 0.9999
     ema_tau: float = 2000.0
+    clip_grad_norm: float = 10.0    # ultralytics BaseTrainer clips at 10.0
+    skip_nonfinite: bool = True     # skip the update when grads are inf/nan
     close_mosaic: int = 10          # disable mosaic for the last N epochs
     max_instances: int = 16
     mask_ratio: int = 4
@@ -101,11 +103,22 @@ class DetectorTrainer:
 
         self._lr_fn = lr_fn
         if cfg.optimizer == "adamw":
-            return optax.adamw(lr_fn, weight_decay=cfg.weight_decay)
-        return optax.chain(
-            optax.add_decayed_weights(cfg.weight_decay),
-            optax.sgd(lr_fn, momentum=cfg.momentum, nesterov=True),
-        )
+            base = optax.adamw(lr_fn, weight_decay=cfg.weight_decay)
+        else:
+            base = optax.chain(
+                optax.add_decayed_weights(cfg.weight_decay),
+                optax.sgd(lr_fn, momentum=cfg.momentum, nesterov=True),
+            )
+        parts = []
+        if cfg.clip_grad_norm:
+            parts.append(optax.clip_by_global_norm(cfg.clip_grad_norm))
+        parts.append(base)
+        tx = optax.chain(*parts)
+        if cfg.skip_nonfinite:
+            # GradScaler-equivalent safety: drop inf/nan steps instead of
+            # poisoning the weights (the reference's AMP scaler skips too)
+            tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+        return tx
 
     def ensure_ready(self, steps_per_epoch: int) -> None:
         if self.state is not None:
