@@ -28,12 +28,25 @@ def get_or_init_detector(model_path: Optional[str], *, variant: str = "n",
     return model, jax.device_get(variables)
 
 
+def _adapt_segment_head_to_detect(tree: Dict) -> Dict:
+    """A Segment-task checkpoint wraps its Detect params under
+    model_N/detect (plus proto/cv4); a detect-task graph expects them at
+    model_N directly. Re-root when needed so a seg-trained detector drops
+    into the SegPP encoder unchanged."""
+    out = dict(tree)
+    for k, v in tree.items():
+        if k.startswith("model_") and isinstance(v, dict) and "detect" in v:
+            out[k] = v["detect"]
+    return out
+
+
 def build_segpp_from_detector(det_variables: Dict, *, variant: str = "n",
                               nc: int = 1, ch: int = 4, use_logits: bool = True,
                               imgsz: int = 160, seed: int = 0,
                               dtype=None) -> Tuple[YOLOSegPP, Dict]:
     """YOLOSegPP with the detector weights transplanted into the yolo subtree
-    (the reference's `YOLOSegPlusPlus(predictor)` construction, train.py:568)."""
+    (the reference's `YOLOSegPlusPlus(predictor)` construction, train.py:568).
+    Accepts both detect- and segment-task detector checkpoints."""
     spec = parse_model_spec("yolov12", variant, nc, ch, "detect")
     model = YOLOSegPP(spec=spec, use_logits=use_logits,
                       **({} if dtype is None else {"dtype": dtype}))
@@ -41,7 +54,7 @@ def build_segpp_from_detector(det_variables: Dict, *, variant: str = "n",
     variables = jax.device_get(
         init(jax.random.key(seed), jnp.zeros((1, imgsz, imgsz, ch))))
     params = dict(variables["params"])
-    params["yolo"] = det_variables["params"]
+    params["yolo"] = _adapt_segment_head_to_detect(det_variables["params"])
     bs = dict(variables["batch_stats"])
-    bs["yolo"] = det_variables["batch_stats"]
+    bs["yolo"] = _adapt_segment_head_to_detect(det_variables["batch_stats"])
     return model, {"params": params, "batch_stats": bs}

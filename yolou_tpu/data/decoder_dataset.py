@@ -49,7 +49,9 @@ class DecoderDataset:
         self.mask_dir = os.path.join(root_path, mask_path)
         self.objectmap_dir = (os.path.join(root_path, objectmap_path)
                               if objectmap_path else None)
-        names = sorted(os.listdir(self.image_dir))
+        exts = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
+        names = sorted(n for n in os.listdir(self.image_dir)
+                       if n.lower().endswith(exts) and not n.startswith("."))
         self.basenames = [os.path.splitext(n)[0] for n in names]
         self.basenames = self.basenames[: int(len(self.basenames) * subsample)]
         for b in self.basenames:

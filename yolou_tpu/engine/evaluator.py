@@ -43,7 +43,8 @@ class Evaluator:
         def step(variables, img):
             mask_logits, out = model.apply(variables, img, train=False)
             dets = non_max_suppression(out.preds, conf_thres=conf,
-                                       iou_thres=iou, max_det=max_det)
+                                       iou_thres=iou, max_det=max_det,
+                                       nc=model.spec.nc)
             pred_bin = (jax.nn.sigmoid(mask_logits) > 0.5).astype(jnp.float32)
             return pred_bin, dets
 

@@ -62,7 +62,7 @@ def average_precision(tp: np.ndarray, conf: np.ndarray, n_gt: int) -> np.ndarray
         r = np.concatenate([[0.0], recall, [recall[-1] + 1e-3]])
         p = np.concatenate([[1.0], precision, [0.0]])
         p = np.flip(np.maximum.accumulate(np.flip(p)))
-        aps.append(float(np.trapezoid(p, r)))
+        aps.append(min(float(np.trapezoid(p, r)), 1.0))
     return np.asarray(aps)
 
 
