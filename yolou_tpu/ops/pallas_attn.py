@@ -1,10 +1,12 @@
 """Fused area-attention Pallas kernel.
 
 The A2C2f area-attention bands are small (N = H*W/area tokens, e.g. 400-1600;
-head_dim 32), so an entire band's attention fits in VMEM. XLA's default
-lowering materializes the (G, N, N) score/softmax tensors to HBM; this kernel
-computes scores -> softmax -> output per (band, head) grid cell entirely
-on-chip: one HBM read of q/k/v, one write of o.
+head_dim 32), so whole bands' attention fits in VMEM. XLA's default lowering
+materializes the (G, N, N) score/softmax tensors to HBM; this kernel computes
+scores -> softmax -> output for a block of GB bands per grid cell entirely
+on-chip (batched MXU dots; single-band cells are DMA-latency-bound): one HBM
+read of q/k/v, one write of o. Differentiable via custom VJP (XLA backward
+with fp32 softmax recompute).
 
 Falls back to interpreter mode off-TPU so tests on the CPU mesh exercise the
 same code path.
