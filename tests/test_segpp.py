@@ -66,3 +66,23 @@ def test_decoder_gradients_do_not_touch_encoder():
     dec_norm = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads["decoder"]))
     assert enc_norm == 0.0
     assert dec_norm > 0.0
+
+
+def test_segment_checkpoint_transplants_into_segpp():
+    """Regression: a segment-task detector checkpoint (head under
+    model_N/detect + proto/cv4) must re-root into the detect-task SegPP
+    encoder (bug found by the TRAINING_DEMO pipeline)."""
+    from yolou_tpu.cli.common import build_segpp_from_detector
+
+    _, seg_vars = cached_init("yolov12", "n", task="segment", ch=4, nc=1)
+    model, variables = build_segpp_from_detector(seg_vars, nc=1, ch=4,
+                                                 imgsz=160)
+    x = jnp.asarray(np.random.default_rng(3).random((1, 160, 160, 4)),
+                    jnp.float32)
+    mask_logits, out = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+        variables, x)
+    assert mask_logits.shape == (1, 160, 160, 1)
+    # the transplanted stem really is the segment checkpoint's stem
+    np.testing.assert_allclose(
+        np.asarray(variables["params"]["yolo"]["model_0"]["conv"]["kernel"]),
+        np.asarray(seg_vars["params"]["model_0"]["conv"]["kernel"]))
