@@ -95,3 +95,19 @@ def test_predictor_pil_and_retina(tmp_path, rng):
     for r in results:
         if r.masks is not None and len(r.masks):
             assert r.masks.data.shape[-2:] == (96, 96)
+
+
+def test_results_plot(tmp_path, rng):
+    from yolou_tpu.engine.results import Boxes, Masks, Results
+    img = rng.integers(0, 255, (96, 96, 4), dtype=np.uint8)
+    data = np.asarray([[10, 10, 50, 50, 0.9, 0.0]], np.float32)
+    mask = np.zeros((1, 96, 96), np.float32)
+    mask[0, 10:50, 10:50] = 1.0
+    r = Results(orig_img=img, path="x.png", names={0: "whole_tumor"},
+                boxes=Boxes(data), masks=Masks(mask))
+    out = r.plot()
+    assert out.shape == (96, 96, 3) and out.dtype == np.uint8
+    p = str(tmp_path / "annotated.png")
+    r.save(p)
+    import os
+    assert os.path.exists(p)

@@ -105,3 +105,31 @@ class Results:
 
     def __len__(self) -> int:
         return len(self.boxes)
+
+    def plot(self, line_width: int = 2, alpha: float = 0.4) -> np.ndarray:
+        """Annotated BGR image: boxes, labels, translucent masks (the
+        ultralytics Results.plot surface)."""
+        import cv2
+
+        assert self.orig_img is not None, "predictor ran with keep_orig_images=False"
+        img = np.ascontiguousarray(self.orig_img[..., :3]).astype(np.uint8)
+        palette = [(56, 56, 255), (31, 112, 255), (29, 178, 255),
+                   (49, 210, 207), (10, 249, 72), (23, 204, 146)]
+        if self.masks is not None and len(self.masks):
+            for i, m in enumerate(self.masks.data):
+                color = np.asarray(palette[i % len(palette)], np.float32)
+                mm = m > 0.5
+                img[mm] = (img[mm] * (1 - alpha) + color * alpha).astype(np.uint8)
+        for i, row in enumerate(self.boxes.data):
+            x1, y1, x2, y2, conf, cls = row
+            color = palette[i % len(palette)]
+            cv2.rectangle(img, (int(x1), int(y1)), (int(x2), int(y2)),
+                          color, line_width)
+            label = f"{self.names.get(int(cls), int(cls))} {conf:.2f}"
+            cv2.putText(img, label, (int(x1), max(int(y1) - 4, 10)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.4, color, 1)
+        return img
+
+    def save(self, path: str, **kwargs) -> None:
+        import cv2
+        cv2.imwrite(path, self.plot(**kwargs))
