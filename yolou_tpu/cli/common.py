@@ -9,8 +9,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models.segpp import YOLOSegPP
-from ..models.yolo import build_yolo, inflate_stem_to_4ch, parse_model_spec
-from ..utils.model_io import load_model, save_model
+from ..models.yolo import build_yolo, parse_model_spec
+from ..utils.model_io import load_model
 
 
 def get_or_init_detector(model_path: Optional[str], *, variant: str = "n",

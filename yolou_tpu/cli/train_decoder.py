@@ -8,7 +8,6 @@ from __future__ import annotations
 import argparse
 
 from ..engine.trainer_decoder import DecoderTrainConfig, DecoderTrainer
-from ..models.yolo import inflate_stem_to_4ch
 from ..parallel import mesh as meshlib
 from ..utils.model_io import save_model
 from .common import build_segpp_from_detector, get_or_init_detector

@@ -5,7 +5,6 @@ from __future__ import annotations
 
 import argparse
 
-from ..data.augment import AugHyp
 from ..data.config import load_data_yaml
 from ..engine.trainer_detector import DetectorTrainConfig, DetectorTrainer
 from ..parallel import mesh as meshlib

@@ -12,15 +12,13 @@ Conditioning parity: the eval path uses sigmoid(raw logits) with NO z-score
 from __future__ import annotations
 
 import time
-from functools import partial
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..data.decoder_dataset import DecoderDataset, prefetch
-from ..losses.dice import soft_dice_loss
 from ..metrics.seg import dice_binary, hd95_batch, precision_recall_counts
 from ..models.segpp import YOLOSegPP
 from ..ops.nms import non_max_suppression

@@ -17,7 +17,7 @@ from __future__ import annotations
 import glob as globlib
 import os
 from functools import partial
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple, Union
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 import jax

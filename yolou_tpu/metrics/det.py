@@ -8,7 +8,7 @@ continuous-interpolation average precision.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List
 
 import numpy as np
 

@@ -10,7 +10,7 @@ per-layer parameter counts are verified against that table in tests.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 # (depth_multiple, width_multiple, max_channels)
 YOLOV12_SCALES: Dict[str, Tuple[float, float, int]] = {

@@ -16,7 +16,6 @@ whose `preds` is the `detect_branch` fed to NMS (boxes in pixels + sigmoid cls
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax

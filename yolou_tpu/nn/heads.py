@@ -12,7 +12,7 @@ Decoding (DFL expectation + dist2bbox + stride scaling + sigmoid cls) lives in
 from __future__ import annotations
 
 import math
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ gradient psum over ICI. Works identically on a real slice and on the
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

@@ -9,12 +9,12 @@ execution. See tools/torch2jax.py for converting reference-style state_dicts.
 from __future__ import annotations
 
 import json
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 
 from ..models.segpp import YOLOSegPP
-from ..models.yolo import YOLOModel, build_yolo, parse_model_spec
+from ..models.yolo import build_yolo, parse_model_spec
 from .checkpoint import load_checkpoint, save_checkpoint
 
 MAGIC = "yolou_tpu_model_v1"
