@@ -101,6 +101,48 @@ def test_decoder_trainer_resume(tmp_path):
     assert int(tr2.state.step) == int(tr.state.step)
 
 
+def test_decoder_trainer_resume_via_train(tmp_path):
+    """Resume through train(resume_from=...) on a dataset with >1 step/epoch:
+    the epoch counter must continue from step//steps_per_epoch (the round-1
+    bug resumed at epoch == step count and skipped all remaining training)."""
+    import os
+    from yolou_tpu.data import synthetic
+    from yolou_tpu.engine.trainer_decoder import (DecoderTrainConfig,
+                                                  DecoderTrainer)
+    from yolou_tpu.models.segpp import YOLOSegPP
+    from yolou_tpu.models.yolo import parse_model_spec
+
+    root = str(tmp_path / "d")
+    synthetic.generate(root, {"train": 4, "val": 2}, size=96, seed=1)
+    for split in ("train", "val"):
+        ns = [os.path.splitext(f)[0] for f in
+              os.listdir(os.path.join(root, "images", split))]
+        synthetic.write_objectmaps(
+            root, {n: np.zeros((12, 12), np.float32) for n in ns}, split)
+
+    spec = parse_model_spec("yolov12", "n", nc=1, ch=4, task="detect")
+    model = YOLOSegPP(spec=spec)
+    v = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.key(0), jnp.zeros((1, 96, 96, 4)))
+    # batch 2 over 4 images -> 2 steps/epoch
+    mk_cfg = lambda epochs, rd: DecoderTrainConfig(
+        image_size=96, batch_size=2, epochs=epochs, val_hd95=False,
+        early_stopping=False, run_dir=str(tmp_path / rd))
+    tr = DecoderTrainer(model, jax.device_get(v), root, mk_cfg(2, "runs_a"))
+    h1 = tr.train()
+    assert len(h1["train_loss"]) == 2
+    assert int(tr.state.step) == 4  # 2 epochs x 2 steps
+    runs = os.listdir(str(tmp_path / "runs_a"))
+    ckpt = os.path.join(str(tmp_path / "runs_a"), runs[0], "weights",
+                        "last.ckpt")
+
+    tr2 = DecoderTrainer(model, jax.device_get(v), root, mk_cfg(3, "runs_b"))
+    h2 = tr2.train(resume_from=ckpt)
+    # resumed at epoch 2 of 3 -> exactly one more epoch trained
+    assert len(h2["train_loss"]) == 1
+    assert int(tr2.state.step) == 6
+
+
 def test_yolo11_family_builds():
     model, variables = cached_init("yolo11", "n", task="detect", ch=3, nc=80,
                                    imgsz=64)

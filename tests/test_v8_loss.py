@@ -17,13 +17,16 @@ A = sum(h * w for h, w in SHAPES)
 
 
 def make_raw(rng, b=2, good_box=None, good_cls=0):
-    """Random raw maps; optionally bias them to predict `good_box` (xyxy px)."""
+    """Random raw maps; optionally bias them to predict `good_box` (xyxy px).
+
+    good_box may be one (x1,y1,x2,y2) tuple or a list of disjoint boxes."""
+    boxes = ([] if good_box is None
+             else [good_box] if not isinstance(good_box, list) else good_box)
     raw = []
     for (h, w), s in zip(SHAPES, STRIDES):
         r = rng.normal(0, 0.5, size=(b, h, w, 4 * REG_MAX + NC)).astype(np.float32)
         r[..., 4 * REG_MAX:] -= 4.0  # low cls logits everywhere
-        if good_box is not None:
-            x1, y1, x2, y2 = good_box
+        for x1, y1, x2, y2 in boxes:
             for yy in range(h):
                 for xx in range(w):
                     ax, ay = (xx + 0.5) * s, (yy + 0.5) * s
@@ -135,6 +138,69 @@ def test_gradients_finite(rng):
     grads = jax.grad(f, argnums=(0, 1, 2))(raw, coefs, protos)
     for gleaf in jax.tree_util.tree_leaves(grads):
         assert np.all(np.isfinite(np.asarray(gleaf)))
+
+
+def test_seg_cap_covers_all_positives(rng):
+    """With >64 fg anchors the default max_pos (TAL budget G*topk) must equal
+    the explicitly-uncapped computation — the old silent top-64 cap dropped
+    mask gradients (VERDICT weak #2; reference loop has no cap,
+    custom_v8_segmentation_loss.py:229-240)."""
+    from yolou_tpu.ops.boxes import dfl_decode, dist2bbox
+    boxes = [(float(x), float(y), float(x + 16), float(y + 16))
+             for x in (0, 16, 32, 48) for y in (0, 16, 32, 48)]
+    raw = make_raw(rng, good_box=boxes)
+    # make_raw's one-hot rounding gives P4 anchors (d = 0.5 strides per side)
+    # degenerate zero-width boxes -> align metric 0 -> TAL drops them. Write
+    # two-hot bins (0 and 1) instead: DFL expectation 0.5 strides = exactly
+    # the enclosing GT box, so all 16 P4 anchors assign too (64+16 = 80 fg).
+    p4 = np.array(raw[1])
+    for side in range(4):
+        p4[..., side * REG_MAX:(side + 1) * REG_MAX] = -8.0
+        p4[..., side * REG_MAX] = 8.0
+        p4[..., side * REG_MAX + 1] = 8.0
+    p4[..., 4 * REG_MAX] = 6.0
+    p4[..., 4 * REG_MAX + 1:] = -4.0
+    raw = (raw[0], jnp.asarray(p4), raw[2])
+    g = len(boxes)
+    hm = wm = 16
+    bboxes = np.zeros((2, g, 4), np.float32)
+    cls = np.zeros((2, g), np.int32)
+    valid = np.ones((2, g), bool)
+    masks = np.zeros((2, g, hm, wm), np.float32)
+    for i, (x1, y1, x2, y2) in enumerate(boxes):
+        bboxes[:, i] = [(x1 + x2) / 2 / IMG, (y1 + y2) / 2 / IMG,
+                        (x2 - x1) / IMG, (y2 - y1) / IMG]
+        masks[:, i, int(y1 * hm / IMG):int(y2 * hm / IMG),
+              int(x1 * wm / IMG):int(x2 * wm / IMG)] = 1.0
+    t = {"bboxes": jnp.asarray(bboxes), "cls": jnp.asarray(cls),
+         "valid": jnp.asarray(valid), "masks": jnp.asarray(masks)}
+    coefs = jnp.asarray(rng.normal(size=(2, A, 8)), jnp.float32)
+    protos = jnp.asarray(rng.normal(size=(2, hm, wm, 8)), jnp.float32)
+
+    # count foreground anchors the way v8_loss does
+    from yolou_tpu.losses.v8 import _flatten_raw
+    from yolou_tpu.ops.boxes import xywh2xyxy
+    pd, ps = _flatten_raw(raw, NC, REG_MAX)
+    anchors, stride_t = make_anchors(SHAPES, STRIDES, 0.5)
+    pb = dist2bbox(dfl_decode(pd.astype(jnp.float32), REG_MAX), anchors[None],
+                   xywh=False)
+    gt_xyxy = xywh2xyxy(t["bboxes"]) * IMG
+    assign = task_aligned_assign(jax.nn.sigmoid(ps.astype(jnp.float32)),
+                                 pb * stride_t[None], anchors * stride_t,
+                                 t["cls"], gt_xyxy, t["valid"])
+    n_fg = int(np.asarray(assign.fg_mask).sum(axis=1).max())
+    assert n_fg > 64, f"scenario must exceed the old cap (got {n_fg})"
+
+    l_default = v8_loss(raw, coefs, protos, t, nc=NC, strides=STRIDES)
+    l_uncapped = v8_loss(raw, coefs, protos, t, nc=NC, strides=STRIDES,
+                         max_pos=A)
+    np.testing.assert_allclose(float(l_default.parts["seg"]),
+                               float(l_uncapped.parts["seg"]), rtol=1e-6)
+    # and the old 64 cap really would have changed the value
+    l_capped = v8_loss(raw, coefs, protos, t, nc=NC, strides=STRIDES,
+                       max_pos=64)
+    assert abs(float(l_capped.parts["seg"])
+               - float(l_uncapped.parts["seg"])) > 1e-6
 
 
 def test_detect_only_mode(rng):

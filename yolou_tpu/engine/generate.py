@@ -76,8 +76,11 @@ def generate_heatmaps(predictor: Predictor, data_root: str,
         for start in range(0, len(entries), batch_size):
             chunk = entries[start:start + batch_size]
             results = predictor([p for _, p in chunk])
-            # batch the splat: pad per-image boxes to a common K
+            # batch the splat: pad per-image boxes to a common K, bucketed to
+            # a power of two so the jitted splat compiles O(log max_det)
+            # times total instead of once per distinct per-batch box count
             k = max(1, max(len(r.boxes) for r in results))
+            k = 1 << (k - 1).bit_length()
             bxywh = np.zeros((len(results), k, 4), np.float32)
             conf = np.zeros((len(results), k), np.float32)
             valid = np.zeros((len(results), k), bool)

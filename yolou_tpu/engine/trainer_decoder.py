@@ -195,7 +195,9 @@ class DecoderTrainer:
         if resume_from:
             ck = load_checkpoint(resume_from, jax.device_get(self.state._asdict()))
             self.state = TrainState(**ck)
-            start_epoch = int(self.state.step)
+            # step counts optimizer updates, not epochs (the reference's dead
+            # `load_and_train` flag, train.py:39,129, never resumed at all).
+            start_epoch = int(self.state.step) // steps_per_epoch
 
         if self.mesh is not None:
             self.state = meshlib.replicate(self.mesh, self.state)

@@ -76,12 +76,19 @@ def v8_loss(
     strides: Tuple[int, ...] = (8, 16, 32),
     reg_max: int = 16,
     hyp: LossHyp = LossHyp(),
-    max_pos: int = 64,
+    max_pos: int | None = None,
     with_masks: bool = True,
 ) -> LossOutputs:
     """targets: cls (B,G) int, bboxes (B,G,4) xywh normalized [0,1],
     valid (B,G) bool, masks (B,G,Hm,Wm) float instance masks at proto
-    resolution (required when with_masks)."""
+    resolution (required when with_masks).
+
+    max_pos bounds the static per-image positive-anchor gather for the mask
+    term. Default None sizes it to the full TAL budget (G * topk), so no
+    foreground anchor is ever dropped (the reference per-image loop,
+    custom_v8_segmentation_loss.py:229-240, has no cap). If an explicit
+    smaller cap is passed, the term is the mean over the captured subset
+    (normalized by the captured count, never underscaled)."""
     b = raw[0].shape[0]
     feat_shapes = tuple((r.shape[1], r.shape[2]) for r in raw)
     imgsz_h = feat_shapes[0][0] * strides[0]
@@ -125,8 +132,10 @@ def v8_loss(
 
     if with_masks and mask_coefs is not None:
         hm, wm = protos.shape[1], protos.shape[2]
-        # static top-max_pos positive anchors per image
-        kpos = min(max_pos, fg.shape[1])
+        # static top-max_pos positive anchors per image; TAL assigns at most
+        # topk=10 anchors per GT, so G*10 covers every possible positive.
+        budget = targets["valid"].shape[1] * 10
+        kpos = min(max_pos if max_pos is not None else budget, fg.shape[1])
         pos_score, pos_idx = jax.lax.top_k(
             fg * (1.0 + jax.lax.stop_gradient(weight)), kpos)          # (B,K)
         pos_valid = pos_score > 0.0
@@ -171,7 +180,11 @@ def v8_loss(
             seg_total = bce_term.sum() + jnp.sum(hyp.tversky * tv * n_pos)
         else:
             seg_total = bce_term.sum()
-        parts["seg"] = seg_total / jnp.maximum(fg.sum(), 1.0)
+        # Normalize by the number of captured positives (== fg.sum() whenever
+        # kpos covers the TAL budget, i.e. always with the default max_pos);
+        # with an explicit smaller cap this is a mean over the captured subset
+        # rather than a silently underscaled term.
+        parts["seg"] = seg_total / jnp.maximum(pos_valid.sum(), 1.0)
 
     total = (parts["box"] * hyp.box + parts["seg"] * hyp.box
              + parts["cls"] * hyp.cls + parts["dfl"] * hyp.dfl) * b
