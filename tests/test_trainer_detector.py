@@ -47,8 +47,101 @@ def test_detector_train_smoke(root, tmp_path):
                                                   runs[0], "weights"))
 
 
+def test_optimizer_warmup_and_decay_groups():
+    """Ultralytics build_optimizer parity (VERDICT missing #5): bias lr starts
+    at warmup_bias_lr, others at 0; momentum ramps 0.8->0.937 over warmup;
+    weight decay applies to kernels only (not biases / BN scales)."""
+    import jax.numpy as jnp
+    import optax
+    from yolou_tpu.engine.trainer_detector import make_detector_tx
+
+    cfg = DetectorTrainConfig(epochs=10, warmup_epochs=2.0, lr0=0.01,
+                              lrf=0.01, skip_nonfinite=False,
+                              clip_grad_norm=0.0)
+    tx, lr_main, lr_bias, mom_fn = make_detector_tx(cfg, steps_per_epoch=10)
+    warm = 20
+    np.testing.assert_allclose(float(lr_bias(0)), cfg.warmup_bias_lr,
+                               rtol=1e-6)
+    assert float(lr_main(0)) == 0.0
+    np.testing.assert_allclose(float(mom_fn(0)), cfg.warmup_momentum,
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(mom_fn(warm)), cfg.momentum)
+    np.testing.assert_allclose(float(lr_main(warm)), cfg.lr0, rtol=1e-3)
+    np.testing.assert_allclose(float(lr_bias(warm)), float(lr_main(warm)))
+    # cosine floor at the end
+    np.testing.assert_allclose(float(lr_main(100)), cfg.lr0 * cfg.lrf,
+                               rtol=1e-5)
+
+    # decay reaches kernels only (zero grads => pure weight-decay updates)
+    params = {"conv": {"kernel": jnp.ones((3, 3)), "bias": jnp.ones(3)},
+              "bn": {"scale": jnp.ones(3), "bias": jnp.ones(3)}}
+    state = tx.init(params)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    # advance past warmup so lr_main > 0
+    for _ in range(warm + 1):
+        updates, state = tx.update(zeros, state, params)
+    assert float(jnp.abs(updates["conv"]["kernel"]).sum()) > 0.0
+    assert float(jnp.abs(updates["conv"]["bias"]).sum()) == 0.0
+    assert float(jnp.abs(updates["bn"]["scale"]).sum()) == 0.0
+    assert float(jnp.abs(updates["bn"]["bias"]).sum()) == 0.0
+
+
 def test_detector_train_data_parallel(root, tmp_path):
     assert jax.device_count() >= 8, "conftest should give 8 CPU devices"
     mesh = meshlib.make_mesh(n_data=8)
     history, _ = _train(root, tmp_path, mesh=mesh, epochs=1, batch=8)
     assert np.isfinite(history["loss"]).all()
+
+
+def test_mesh_vs_single_device_step_equivalence(root):
+    """One train step on the same batch/seed: 8-device data-parallel sharding
+    must produce the same loss (all four parts nonzero) and the same updated
+    params as single-device execution (VERDICT round-1 item 5)."""
+    import jax.numpy as jnp
+    from yolou_tpu.nn.heads import warm_start_detect_bias
+
+    cfg_data = load_data_yaml(os.path.join(root, "data.yaml"))
+    model, variables = cached_init("yolov12", "n", task="segment", ch=4,
+                                   nc=1, imgsz=64)
+    variables = dict(variables)
+    variables["params"] = jax.device_get(
+        warm_start_detect_bias(variables["params"]))
+    cfg = DetectorTrainConfig(imgsz=64, batch_size=8, epochs=1,
+                              close_mosaic=0, max_instances=4,
+                              warmup_epochs=0.1, skip_nonfinite=False)
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (8, 64, 64, 4), dtype=np.uint8)
+    idmap = np.zeros((8, 64, 64), np.int32)
+    idmap[:, 16:40, 16:48] = 1
+    cls = np.zeros((8, 4), np.int32)
+    valid = np.zeros((8, 4), bool)
+    valid[:, 0] = True
+    raw = (jnp.asarray(img), jnp.asarray(idmap), jnp.asarray(cls),
+           jnp.asarray(valid))
+    key = jax.random.key(3)
+
+    results = {}
+    for name, mesh in (("single", None), ("mesh", meshlib.make_mesh(n_data=8))):
+        tr = DetectorTrainer(model, variables, cfg_data, cfg, mesh=mesh)
+        tr.ensure_ready(steps_per_epoch=2)
+        if mesh is not None:
+            tr.state = meshlib.replicate(mesh, tr.state)
+            batch = meshlib.shard_batch(mesh, raw)
+        else:
+            batch = raw
+        state, loss, parts = tr._step[False](tr.state, *batch, key)
+        results[name] = (jax.device_get(state.params), float(loss),
+                         {k: float(v) for k, v in parts.items()})
+
+    _, loss_s, parts_s = results["single"]
+    _, loss_m, parts_m = results["mesh"]
+    for k in ("box", "cls", "dfl", "seg"):
+        assert parts_s[k] > 0.0, parts_s
+    np.testing.assert_allclose(loss_m, loss_s, rtol=1e-4)
+    flat_s = jax.tree_util.tree_leaves(results["single"][0])
+    flat_m = jax.tree_util.tree_leaves(results["mesh"][0])
+    for a, b in zip(flat_s, flat_m):
+        # sharded all-reduce order vs single-device reduction: pure FP noise
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=5e-5)

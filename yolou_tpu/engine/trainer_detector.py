@@ -63,6 +63,74 @@ class DetectorTrainConfig:
     val_every: int = 0              # eval-during-train: mAP on val every N epochs (0 = off)
 
 
+def make_detector_tx(cfg: "DetectorTrainConfig", steps_per_epoch: int):
+    """Ultralytics BaseTrainer.build_optimizer + warmup parity: three param
+    groups — biases (no decay, lr warms up FROM warmup_bias_lr), norm scales
+    (no decay), and weights (decayed) — with per-step linear warmup of lr and
+    momentum (warmup_momentum -> momentum) followed by cosine decay to
+    lr0*lrf. Returns (tx, lr_main, lr_bias, mom_fn)."""
+    total = max(1, cfg.epochs * steps_per_epoch)
+    warm = int(cfg.warmup_epochs * steps_per_epoch)
+
+    def cosine(step):
+        prog = jnp.clip((step - warm) / jnp.maximum(total - warm, 1), 0.0, 1.0)
+        return cfg.lr0 * (cfg.lrf + (1 - cfg.lrf) * 0.5 * (1 + jnp.cos(jnp.pi * prog)))
+
+    def lr_fn(step, start):
+        frac = jnp.clip(step / jnp.maximum(warm, 1), 0.0, 1.0)
+        warm_lr = start + (cosine(step) - start) * frac
+        return jnp.where(step < warm, warm_lr, cosine(step))
+
+    lr_main = lambda step: lr_fn(step, 0.0)
+    lr_bias = lambda step: lr_fn(step, cfg.warmup_bias_lr)
+
+    def mom_fn(step):
+        frac = jnp.clip(step / jnp.maximum(warm, 1), 0.0, 1.0)
+        return jnp.where(step < warm,
+                         cfg.warmup_momentum
+                         + (cfg.momentum - cfg.warmup_momentum) * frac,
+                         cfg.momentum)
+
+    if cfg.optimizer == "adamw":
+        # ultralytics AdamW path: betas=(momentum, 0.999), no momentum ramp
+        # (torch param groups without a "momentum" key skip the warmup interp)
+        mk = lambda lr, wd: optax.adamw(lr, b1=cfg.momentum, weight_decay=wd)
+    else:
+        sgd = optax.inject_hyperparams(
+            lambda learning_rate, momentum: optax.sgd(
+                learning_rate, momentum=momentum, nesterov=True))
+        mk = lambda lr, wd: (
+            optax.chain(optax.add_decayed_weights(wd),
+                        sgd(learning_rate=lr, momentum=mom_fn))
+            if wd else sgd(learning_rate=lr, momentum=mom_fn))
+
+    def label_fn(params):
+        def label(path, _):
+            leaf = path[-1].key
+            if leaf == "bias":
+                return "bias"
+            if leaf == "scale":      # BatchNorm weight: no decay
+                return "nodecay"
+            return "decay"
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    base = optax.multi_transform(
+        {"bias": mk(lr_bias, 0.0),
+         "nodecay": mk(lr_main, 0.0),
+         "decay": mk(lr_main, cfg.weight_decay)},
+        label_fn)
+    parts = []
+    if cfg.clip_grad_norm:
+        parts.append(optax.clip_by_global_norm(cfg.clip_grad_norm))
+    parts.append(base)
+    tx = optax.chain(*parts)
+    if cfg.skip_nonfinite:
+        # GradScaler-equivalent safety: drop inf/nan steps instead of
+        # poisoning the weights (the reference's AMP scaler skips too)
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    return tx, lr_main, lr_bias, mom_fn
+
+
 class DetTrainState(NamedTuple):
     params: Any
     batch_stats: Any
@@ -89,34 +157,11 @@ class DetectorTrainer:
 
     # ------------------------------------------------------------------ setup
     def _make_tx(self, steps_per_epoch: int):
-        cfg = self.cfg
-        total = max(1, cfg.epochs * steps_per_epoch)
-        warm = int(cfg.warmup_epochs * steps_per_epoch)
-
-        def lr_fn(step):
-            frac = jnp.clip(step / jnp.maximum(warm, 1), 0.0, 1.0)
-            warm_lr = cfg.lr0 * frac
-            prog = jnp.clip((step - warm) / jnp.maximum(total - warm, 1), 0.0, 1.0)
-            cos = cfg.lrf + (1 - cfg.lrf) * 0.5 * (1 + jnp.cos(jnp.pi * prog))
-            return jnp.where(step < warm, warm_lr, cfg.lr0 * cos)
-
-        self._lr_fn = lr_fn
-        if cfg.optimizer == "adamw":
-            base = optax.adamw(lr_fn, weight_decay=cfg.weight_decay)
-        else:
-            base = optax.chain(
-                optax.add_decayed_weights(cfg.weight_decay),
-                optax.sgd(lr_fn, momentum=cfg.momentum, nesterov=True),
-            )
-        parts = []
-        if cfg.clip_grad_norm:
-            parts.append(optax.clip_by_global_norm(cfg.clip_grad_norm))
-        parts.append(base)
-        tx = optax.chain(*parts)
-        if cfg.skip_nonfinite:
-            # GradScaler-equivalent safety: drop inf/nan steps instead of
-            # poisoning the weights (the reference's AMP scaler skips too)
-            tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+        tx, lr_main, lr_bias, mom_fn = make_detector_tx(self.cfg,
+                                                        steps_per_epoch)
+        self._lr_fn = lr_main
+        self._lr_bias_fn = lr_bias
+        self._mom_fn = mom_fn
         return tx
 
     def ensure_ready(self, steps_per_epoch: int) -> None:
@@ -207,6 +252,7 @@ class DetectorTrainer:
             self.state = meshlib.replicate(self.mesh, self.state)
 
         key = jax.random.key(cfg.seed)
+        best_fitness = float("-inf")
         for epoch in range(start_epoch, cfg.epochs):
             mosaic_on = epoch < cfg.epochs - cfg.close_mosaic
             t0 = time.time()
@@ -250,6 +296,14 @@ class DetectorTrainer:
                 self.history.setdefault("map", []).append(vm["map"])
                 msg += (f" | val mAP50={vm['map50']:.4f} "
                         f"mAP50-95={vm['map']:.4f}")
+                # ultralytics fitness = 0.1*mAP50 + 0.9*mAP50-95; stage-1
+                # keeps best.pt on fitness improvement (BaseTrainer.save_model)
+                fitness = 0.1 * vm["map50"] + 0.9 * vm["map"]
+                if fitness > best_fitness:
+                    best_fitness = fitness
+                    save_checkpoint(
+                        os.path.join(run_dir, "weights", "best.ckpt"),
+                        jax.device_get(self.state._asdict()))
             print(msg)
             save_checkpoint(os.path.join(run_dir, "weights", "last.ckpt"),
                             jax.device_get(self.state._asdict()))

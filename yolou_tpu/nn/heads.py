@@ -107,3 +107,29 @@ def detect_bias_init_values(nc: int, strides: Sequence[int], imgsz: int = 640):
     """Reference-style head bias init: box bias 1.0; cls bias log(5/nc/(imgsz/s)^2)."""
     cls_bias = {s: math.log(5 / nc / (imgsz / s) ** 2) for s in strides}
     return 1.0, cls_bias
+
+
+def warm_start_detect_bias(params, reg_max: int = 16, box_bin: int = 4,
+                           cls_logit: float = 2.0):
+    """Bias the Detect head's final convs so a fresh random init already
+    yields confident class scores and moderate box extents — guaranteeing the
+    TAL assigner finds foreground anchors. Used by multi-chip dryruns and
+    sharding-equivalence tests so box/dfl/seg gradient paths are exercised
+    (round-1 dryrun ran degenerately with all-background assignment)."""
+    import re
+
+    def fn(path, x):
+        keys = [getattr(p, "key", "") for p in path]
+        if len(keys) < 2 or keys[-1] != "bias":
+            return x
+        name = keys[-2]
+        if re.fullmatch(r"cv3_\d+_2", name):
+            return jnp.full_like(x, cls_logit)
+        if re.fullmatch(r"cv2_\d+_2", name) and x.shape[-1] == 4 * reg_max:
+            import numpy as np
+            b = np.zeros(x.shape, np.float32)
+            b.reshape(4, reg_max)[:, box_bin] = 4.0
+            return jnp.asarray(b)
+        return x
+
+    return jax.tree_util.tree_map_with_path(fn, params)
