@@ -58,11 +58,19 @@ def test_synthetic_round_trip_detection():
     out, report = convert_state_dict(sd, variables, strict=True)
     assert report["matched"] > 300
     assert not report["unused"], report["unused"][:5]
+    from yolou_tpu.tools.torch2jax import aattn_qkv_permutation
     for coll in ("params", "batch_stats"):
         for path, leaf in _flat(out[coll]):
             t = flax_to_torch_name(path, coll)
             want = _torch_layout(leaf, path)
-            np.testing.assert_allclose(want, sd[t], err_msg=str(path))
+            src = sd[t]
+            if path[-4:-2] == ("attn", "qkv") or (
+                    len(path) >= 3 and path[-3] == "qkv" and "attn" in path):
+                # AAttn qkv: converter permutes head-major -> role-major
+                o = want.shape[0]
+                if o % 96 == 0:  # 3*heads*32 (PSA's qkv width never is)
+                    src = src[aattn_qkv_permutation(o)]
+            np.testing.assert_allclose(want, src, err_msg=str(path))
 
 
 def test_load_plain_torch_file(tmp_path):

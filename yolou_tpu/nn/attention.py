@@ -39,39 +39,38 @@ class AAttn(nn.Module):
     def __call__(self, x, train: bool = False):
         B, H, W, C = x.shape
         hd = self.dim // self.num_heads
+        # Runtime qkv channel layout is ROLE-major (q | k | v thirds), each
+        # third head-major (channel = role*dim + h*hd + d). Contiguous
+        # lane-aligned thirds flow straight into the fused kernel with zero
+        # HBM reshuffles. ultralytics stores qkv HEAD-major interleaved
+        # (view(B,N,heads,3*hd).split); the torch->flax converter permutes
+        # the qkv conv/BN output channels once at load time
+        # (tools/torch2jax.py::aattn_qkv_permutation) — same function.
         qkv = ConvBNAct(self.dim * 3, 1, act=False, dtype=self.dtype, name="qkv")(x, train)
-        v_spatial = qkv[..., 2 * self.dim:]
 
         n = H * W
         area = self.area if n % self.area == 0 else 1
         tokens = qkv.reshape(B * area, n // area, 3 * self.dim)
-        q, k, v = jnp.split(tokens, 3, axis=-1)
+        q, k, v = jnp.split(tokens, 3, axis=-1)   # each (b', n', C) head-major
 
         if self.use_pallas:
-            from ..ops.pallas_attn import area_attention
+            from ..ops.pallas_attn import area_attention_fused
 
-            shp = (B * area, n // area, self.num_heads, hd)
-            def flat(t):  # (b, n, heads, hd) -> (b*heads, n, hd)
-                return t.reshape(shp).transpose(0, 2, 1, 3).reshape(
-                    -1, shp[1], hd)
-
-            out = area_attention(flat(q), flat(k), flat(v))
-            out = (out.reshape(shp[0], self.num_heads, shp[1], hd)
-                   .transpose(0, 2, 1, 3).reshape(B, H, W, self.dim)
-                   .astype(self.dtype))
+            out = area_attention_fused(q, k, v, self.num_heads)
+            out = out.reshape(B, H, W, self.dim).astype(self.dtype)
         else:
-            def heads(t):  # (b, n, C) -> (b, heads, n, hd)
-                b, nn_, _ = t.shape
-                return t.reshape(b, nn_, self.num_heads, hd).transpose(0, 2, 1, 3)
-
-            qh, kh, vh = heads(q), heads(k), heads(v)
-            attn = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+            rs = lambda t: t.reshape(t.shape[0], t.shape[1], self.num_heads, hd)
+            qh, kh, vh = rs(q), rs(k), rs(v)
+            attn = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
                               preferred_element_type=jnp.float32) * (hd ** -0.5)
             attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-            out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh,
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh,
                              preferred_element_type=jnp.float32).astype(self.dtype)
-            out = out.transpose(0, 2, 1, 3).reshape(B, H, W, self.dim)
+            out = out.reshape(B, H, W, self.dim)
 
+        # pe consumes v in the same head-major spatial layout the attention
+        # output uses (ultralytics reassembles v to (B,C,H,W) before pe).
+        v_spatial = v.reshape(B, H, W, self.dim)
         pe = ConvBNAct(self.dim, 7, g=self.dim, act=False, dtype=self.dtype,
                        name="pe")(v_spatial, train)
         return ConvBNAct(self.dim, 1, act=False, dtype=self.dtype, name="proj")(

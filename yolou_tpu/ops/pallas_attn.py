@@ -116,6 +116,143 @@ def area_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return _area_attention(q, k, v, interpret)
 
 
+# ---------------------------------------------------------------------------
+# Fused multi-head band kernel (full-MXU formulation)
+# ---------------------------------------------------------------------------
+#
+# The banded kernel above contracts over hd=32, capping MXU K-utilization at
+# 32/128 = 25% (measured ~14 TFLOP/s on v5e). This kernel keeps all heads of
+# a band together as (N, C=heads*hd) and computes per-head scores as
+#     S_h = (q * mask_h) @ k^T         (contraction over all C channels)
+# where mask_h zeroes every channel outside head h — EXACT per-head scores
+# (cross-head channels contribute 0) at full K=C=128 MXU utilization. The
+# output dot uses the same trick on v and sums the disjoint per-head partials.
+# heads x more FLOPs at ~heads x better utilization, and big-K matmuls
+# schedule far better than 8-deep batched K=32 dots: measured ~3x faster.
+
+
+def _fused_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
+    q = q_ref[:]                        # (GB, N, C) head-major channels
+    k = k_ref[:]
+    v = v_ref[:]
+    gb, n, c = q.shape
+    hd = c // heads
+    ch = jax.lax.broadcasted_iota(jnp.int32, (heads, 1, c), 2) // hd
+    hh = jax.lax.broadcasted_iota(jnp.int32, (heads, 1, c), 0)
+    mask = (ch == hh).astype(q.dtype)   # (heads, 1, C)
+
+    # Mosaic's tpu.matmul supports one batch dim: flatten (GB, heads)
+    qm = (q[:, None] * mask[None]).reshape(gb * heads, n, c)
+    km = jnp.broadcast_to(k[:, None],
+                          (gb, heads, n, c)).reshape(gb * heads, n, c)
+    s = jax.lax.dot_general(
+        qm, km, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale         # (GB*H, N, N)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    denom = jnp.sum(e, axis=-1, keepdims=True)              # (GB*H, N, 1)
+    p = e.astype(v.dtype)
+    vm = (v[:, None] * mask[None]).reshape(gb * heads, n, c)
+    o_part = jax.lax.dot_general(
+        p, vm, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                 # (GB*H, N, C)
+    # normalize after the dot (C-wide divide beats an N-wide one), then the
+    # disjoint per-head column blocks sum into the concatenated output
+    o = jnp.sum((o_part / denom).reshape(gb, heads, n, c), axis=1)
+    o_ref[:] = o.astype(o_ref.dtype)
+
+
+def _fused_band_block(g: int, n: int, c: int, heads: int,
+                      vmem_budget: int = 10 * 2 ** 20) -> int:
+    per_band = heads * n * n * 6 + 2 * heads * n * c * 4    # s+e fp32, partials
+    gb = max(1, vmem_budget // max(per_band, 1))
+    gb = min(gb, 8, g)
+    while g % gb:
+        gb -= 1
+    return max(gb, 1)
+
+
+def _fused_fwd_impl(q, k, v, heads, interpret):
+    g, n, c = q.shape
+    scale = (c // heads) ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    gb = _fused_band_block(g, n, c, heads)
+    kern = functools.partial(_fused_kernel, heads=heads, scale=scale)
+    block = pl.BlockSpec((gb, n, c), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        kern,
+        grid=(g // gb,),
+        in_specs=[block, block, block],
+        out_specs=block,
+        out_shape=jax.ShapeDtypeStruct((g, n, c), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _area_attention_fused(q, k, v, heads, interpret):
+    return _fused_fwd_impl(q, k, v, heads, interpret)
+
+
+def _aaf_fwd(q, k, v, heads, interpret):
+    return _fused_fwd_impl(q, k, v, heads, interpret), (q, k, v)
+
+
+def _aaf_bwd(heads, interpret, res, do):
+    """XLA backward on the head-reshaped views (fp32 softmax recompute)."""
+    q, k, v = res
+    g, n, c = q.shape
+    hd = c // heads
+    rs = lambda t: t.reshape(g, n, heads, hd)
+    qh, kh, vh, doh = rs(q), rs(k), rs(v), rs(do)
+    scale = hd ** -0.5
+    s = jnp.einsum("gqhd,gkhd->ghqk", qh, kh,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    do32 = doh.astype(jnp.float32)
+    v32 = vh.astype(jnp.float32)
+    dv = jnp.einsum("ghqk,gqhd->gkhd", p, do32)
+    dp = jnp.einsum("gqhd,gkhd->ghqk", do32, v32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("ghqk,gkhd->gqhd", ds, kh.astype(jnp.float32)) * scale
+    dk = jnp.einsum("ghqk,gqhd->gkhd", ds, qh.astype(jnp.float32)) * scale
+    back = lambda t, ref: t.reshape(g, n, c).astype(ref.dtype)
+    return back(dq, q), back(dk, k), back(dv, v)
+
+
+_area_attention_fused.defvjp(_aaf_fwd, _aaf_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def area_attention_fused(q: jax.Array, k: jax.Array, v: jax.Array,
+                         heads: int,
+                         interpret: bool | None = None) -> jax.Array:
+    """Multi-head softmax attention over (G, N, C) bands, C = heads*hd with
+    head-major channel layout (channel = h*hd + d). Equivalent per head to
+    softmax(q_h k_h^T / sqrt(hd)) v_h, outputs concatenated back to C.
+
+    No per-head HBM reshape/transpose is needed around this op — the band
+    tensors flow straight from the qkv projection (role-major thirds) into
+    the kernel and out to the proj conv.
+    """
+    return _area_attention_fused(q, k, v, heads, interpret)
+
+
+def area_attention_fused_reference(q, k, v, heads: int) -> jax.Array:
+    """Pure-XLA reference for the fused kernel (same math, head reshape)."""
+    g, n, c = q.shape
+    hd = c // heads
+    rs = lambda t: t.reshape(g, n, heads, hd)
+    qh, kh, vh = rs(q), rs(k), rs(v)
+    s = jnp.einsum("gqhd,gkhd->ghqk", qh, kh,
+                   preferred_element_type=jnp.float32) * (hd ** -0.5)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    o = jnp.einsum("ghqk,gkhd->gqhd", p, vh,
+                   preferred_element_type=jnp.float32)
+    return o.reshape(g, n, c).astype(q.dtype)
+
+
 def area_attention_reference(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Pure-XLA reference (same math) for parity tests and fallback."""
     hd = q.shape[-1]

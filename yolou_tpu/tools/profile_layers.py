@@ -1,0 +1,172 @@
+"""Per-layer device-time profiler (prefix bisection with slope timing).
+
+`jax.profiler.start_trace` hangs through the axon tunnel (CLAUDE.md), and
+sub-ms single-call timing through the tunnel is queue-jitter noise — so this
+measures per-layer times the only way that is trustworthy here: jit every
+*prefix* of the model graph (the executor's `stop_at` + `taps`), slope-time
+each prefix over enough chained dispatches to aggregate >5 ms of device work,
+and difference consecutive prefixes. Output: a per-layer table (stdout +
+PROFILE.md + JSON).
+
+Usage:
+    python -m yolou_tpu.tools.profile_layers --batch 128 --imgsz 640
+    python -m yolou_tpu.tools.profile_layers --attn   # attention variants
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+
+def slope_time(fn: Callable, args, *, min_work_ms: float = 20.0,
+               probes: int = 3) -> float:
+    """Per-call seconds via t(1+n) - t(1) over chained dispatches, each run
+    ending in a scalar host transfer (cannot complete early through the
+    tunnel). n is chosen so the aggregate exceeds min_work_ms."""
+    import jax
+    import jax.numpy as jnp
+
+    first = lambda o: jax.tree_util.tree_leaves(o)[0]
+    sumfn = jax.jit(lambda o: jnp.sum(first(o).astype(jnp.float32)))
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(*args)
+        float(sumfn(out))
+        return time.perf_counter() - t0
+
+    run(1)  # compile + warm
+    t1 = min(run(1) for _ in range(3))
+    # estimate n from a quick probe
+    probe = max(run(4) - t1, 1e-5) / 3
+    n = max(4, int(min_work_ms / 1e3 / probe) + 1)
+    n = min(n, 200)
+    samples = [(run(1 + n) - t1) / n for _ in range(probes)]
+    return float(np.median(samples))
+
+
+def profile_prefixes(batch: int = 128, imgsz: int = 640, use_pallas: bool = True,
+                     dtype_name: str = "bfloat16",
+                     layers: Optional[list] = None) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.yolo import build_yolo
+
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    model = build_yolo("yolov12", "n", nc=1, ch=4, task="segment",
+                       dtype=dtype, use_pallas=use_pallas)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.key(0), jnp.zeros((1, imgsz, imgsz, 4)))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (batch, imgsz, imgsz, 4)).astype(np.float32))
+
+    n_layers = len(model.spec.layers)
+    sel = layers if layers else list(range(1, n_layers + 1))
+    sel = sorted(set(sel) | {0})
+
+    times = {}
+    for i in sel:
+        if i == 0:
+            times[0] = 0.0
+            continue
+
+        def prefix(v, x, i=i):
+            return model.apply(v, x, train=False, stop_at=i,
+                               taps=(i - 1,)) if i < n_layers else \
+                   model.apply(v, x, train=False)
+
+        f = jax.jit(prefix)
+        t = slope_time(f, (variables, x))
+        times[i] = t * 1e3
+        print(f"prefix[:{i:2d}] {model.spec.layers[i-1].block:<9} "
+              f"{times[i]:8.3f} ms  (+{times[i] - times.get(i-1, 0.0):7.3f})",
+              flush=True)
+
+    rows = []
+    keys = sorted(times)
+    for a, b in zip(keys[:-1], keys[1:]):
+        name = "+".join(model.spec.layers[j].block for j in range(a, b))
+        rows.append({"layers": f"{a}..{b-1}", "block": name,
+                     "ms": round(times[b] - times[a], 3)})
+    out = {"batch": batch, "imgsz": imgsz, "dtype": dtype_name,
+           "use_pallas": use_pallas, "total_ms": round(times[keys[-1]], 3),
+           "per_layer": rows}
+    return out
+
+
+def profile_attention_variants(batch: int = 128) -> dict:
+    """Layer-6 attention shapes (B=128, area=4, N=400, heads=4, hd=32):
+    time competing implementations of the banded softmax attention."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import pallas_attn
+
+    heads, n, hd = 4, 400, 32
+    bands = batch * 4            # B * area
+    g = bands * heads
+    rng = np.random.default_rng(0)
+    mk = lambda shape: jnp.asarray(
+        rng.normal(0, 1, shape).astype(np.float32)).astype(jnp.bfloat16)
+    q, k, v = (mk((g, n, hd)) for _ in range(3))
+    qf, kf, vf = (mk((bands, n, heads * hd)) for _ in range(3))
+    flops = 2 * 2 * g * n * n * hd   # exact math FLOPs (fused does 4x on MXU)
+
+    results = {}
+    impls = {
+        "pallas_banded": (jax.jit(
+            lambda q, k, v: pallas_attn.area_attention(q, k, v)), (q, k, v)),
+        "pallas_fused": (jax.jit(
+            lambda q, k, v: pallas_attn.area_attention_fused(q, k, v, heads)),
+            (qf, kf, vf)),
+        "xla_einsum": (jax.jit(pallas_attn.area_attention_reference), (q, k, v)),
+        "xla_fused_ref": (jax.jit(
+            lambda q, k, v: pallas_attn.area_attention_fused_reference(
+                q, k, v, heads)), (qf, kf, vf)),
+    }
+    for name, (f, args) in impls.items():
+        try:
+            t = slope_time(f, args)
+            results[name] = {"ms": round(t * 1e3, 3),
+                             "tflops_effective": round(flops / t / 1e12, 1)}
+            print(f"{name:<16} {t*1e3:8.3f} ms  {flops/t/1e12:6.1f} TFLOP/s eff",
+                  flush=True)
+        except Exception as e:
+            results[name] = {"error": str(e)[:200]}
+            print(f"{name:<16} ERROR {str(e)[:120]}", flush=True)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--imgsz", type=int, default=640)
+    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--attn", action="store_true",
+                    help="profile attention implementation variants only")
+    ap.add_argument("--layers", type=str, default="",
+                    help="comma-separated prefix indices (default: all)")
+    ap.add_argument("--out", type=str, default="PROFILE.json")
+    args = ap.parse_args()
+
+    if args.attn:
+        out = profile_attention_variants(args.batch)
+    else:
+        layers = [int(s) for s in args.layers.split(",") if s] or None
+        out = profile_prefixes(args.batch, args.imgsz,
+                               use_pallas=not args.no_pallas, layers=layers)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,7 +49,10 @@ def _module_segment(seg: str) -> Optional[str]:
         return f"m.{m.group(1)}"
     table = {
         "mlp1": "mlp.0", "mlp2": "mlp.1",
-        "ghost1": "conv.0", "ghost2": "conv.1", "dwmid": "conv.1",
+        # ultralytics GhostBottleneck.conv is always a 3-slot Sequential:
+        # conv.0 = GhostConv, conv.1 = DWConv (s=2) or nn.Identity (s=1),
+        # conv.2 = GhostConv — so ghost2 lives at conv.2 in BOTH cases.
+        "ghost1": "conv.0", "ghost2": "conv.2", "dwmid": "conv.1",
         "sc_dw": "shortcut.0", "sc_pw": "shortcut.1",
         "conv_a": "conv.0", "conv_b": "conv.1",
         "residual": "residual_conv",
@@ -62,11 +65,6 @@ def _module_segment(seg: str) -> Optional[str]:
     return table.get(seg, seg)
 
 
-def _ghost2_fix(parts: List[str]) -> None:
-    """GhostBottleneck with stride 2 shifts ghost2 from conv.1 to conv.2 —
-    only relevant if a spec ever uses s=2 ghost blocks (v12 uses s=1)."""
-
-
 def flax_to_torch_name(path: Tuple[str, ...], collection: str) -> Optional[str]:
     """Map a flax variable path (module segments + leaf) to the torch name."""
     *mods, leaf = path
@@ -75,20 +73,15 @@ def flax_to_torch_name(path: Tuple[str, ...], collection: str) -> Optional[str]:
         t = _module_segment(seg)
         if t is not None:
             segs.append(t)
-    prefix = ".".join(segs)
-    last_mod = mods[-1] if mods else ""
     if collection == "batch_stats":
         leaf_t = {"mean": "running_mean", "var": "running_var"}[leaf]
-        return f"{prefix}.{leaf_t}"
-    if leaf == "kernel":
-        return f"{prefix}.weight"
-    if leaf in ("bias",):
-        return f"{prefix}.bias"
-    if leaf == "scale":
-        return f"{prefix}.weight"
-    if leaf == "gamma":
-        return f"{prefix}.gamma"
-    return f"{prefix}.{leaf}"
+    elif leaf == "kernel":
+        leaf_t = "weight"
+    elif leaf == "scale":
+        leaf_t = "weight"
+    else:
+        leaf_t = leaf
+    return ".".join(segs + [leaf_t])
 
 
 def _to_flax_layout(torch_arr: np.ndarray, flax_shape: Tuple[int, ...],
@@ -116,6 +109,30 @@ def _to_flax_layout(torch_arr: np.ndarray, flax_shape: Tuple[int, ...],
 
 
 # --------------------------------------------------------------- conversion
+
+def aattn_qkv_permutation(c3: int, hd: int = 32) -> np.ndarray:
+    """Output-channel permutation for AAttn's qkv conv: ultralytics stores
+    qkv HEAD-major interleaved (channel = h*3*hd + role*hd + d, from
+    view(B,N,heads,3*hd).split in AAttn.forward), while the runtime layout
+    here is ROLE-major (channel = role*C + h*hd + d) so q/k/v are contiguous
+    lane-aligned thirds. perm[ours] = theirs; apply to the qkv conv kernel's
+    O axis and the qkv BN scale/bias/mean/var."""
+    c = c3 // 3
+    heads = c // hd
+    perm = np.empty(c3, np.int64)
+    for role in range(3):
+        for h in range(heads):
+            base = role * c + h * hd
+            perm[base:base + hd] = h * 3 * hd + role * hd + np.arange(hd)
+    return perm
+
+
+def _is_aattn_qkv(path: Tuple[str, ...]) -> bool:
+    """AAttn qkv leaves: .../attn/qkv/{conv,bn}/... with out == 3*in (PSA
+    attention also names its projection 'qkv' but its width is dim*1.25 and
+    its layout already matches ultralytics — excluded by the width check in
+    the caller)."""
+    return "qkv" in path and "attn" in path
 
 def _flatten(tree, prefix=()):
     out = {}
@@ -152,6 +169,28 @@ def convert_state_dict(torch_sd: Dict[str, np.ndarray], template: Dict,
     out = {}
     matched, missing = [], []
     used = set()
+
+    # AAttn qkv modules need an output-channel permutation (head-major
+    # interleaved in torch -> role-major thirds here). Identify them by their
+    # conv kernel shape (O == 3*I), then permute every leaf under the module.
+    qkv_modules = {}
+    if "params" in template:
+        for path, leaf in _flatten(template["params"]).items():
+            if (path[-4:-2] == ("attn", "qkv") and path[-2:] == ("conv", "kernel")
+                    and np.ndim(leaf) == 4
+                    and np.shape(leaf)[-1] == 3 * np.shape(leaf)[-2]):
+                qkv_modules[path[:-2]] = aattn_qkv_permutation(np.shape(leaf)[-1])
+
+    def maybe_permute(path, arr):
+        perm = qkv_modules.get(path[:-2]) if len(path) >= 2 else None
+        if perm is None:
+            return arr
+        if arr.ndim == 4:            # HWIO kernel: permute O
+            return arr[..., perm]
+        if arr.ndim == 1 and arr.shape[0] == perm.shape[0]:  # BN params/stats
+            return arr[perm]
+        return arr
+
     for coll in ("params", "batch_stats"):
         if coll not in template:
             continue
@@ -170,6 +209,7 @@ def convert_state_dict(torch_sd: Dict[str, np.ndarray], template: Dict,
                     raise ValueError(
                         f"shape mismatch for {tname}: torch "
                         f"{np.shape(torch_sd[tname])} vs flax {np.shape(leaf)}")
+                arr = maybe_permute(path, arr)
                 conv[path] = arr.astype(np.asarray(leaf).dtype)
                 matched.append(tname)
                 used.add(tname)
