@@ -1,0 +1,377 @@
+"""Golden fidelity tests against installed torch (VERDICT round-1 item 3).
+
+Every test here compares framework numerics against *torch* computations —
+the stack the reference actually runs on — rather than self-referential
+checks. The torch modules below are written to ultralytics semantics and
+*literal ultralytics state_dict naming* (Conv.conv/bn, GhostBottleneck's
+3-slot `conv` Sequential with nn.Identity at conv.1, AAttn qkv/pe/proj,
+A2C2f m.i.j + gamma), so the converter path is exercised against real torch
+module trees, not names fabricated from our own mapping.
+
+Parity points: /root/reference/nms.py:239-296 (greedy NMS),
+YOLOSegPlusPlus.py:155 (bilinear upsample), train.py:267-269 (AdamW+cosine),
+custom_v8_segmentation_loss.py:147 (BCE-with-logits).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import torch
+import torch.nn as tnn
+
+from yolou_tpu.losses.dice import bce_with_logits, soft_dice_loss, tversky_loss
+from yolou_tpu.nn.attention import A2C2f
+from yolou_tpu.nn.blocks import (C3Ghost, ConvBNAct, upsample2x,
+                                 upsample_bilinear_torch)
+from yolou_tpu.ops.nms import non_max_suppression
+from yolou_tpu.tools.torch2jax import convert_state_dict
+
+torch.manual_seed(0)
+
+
+# --------------------------------------------------------------------------
+# torch modules with literal ultralytics structure/naming
+# --------------------------------------------------------------------------
+
+def _autopad(k):
+    return k // 2
+
+
+class TConv(tnn.Module):
+    """ultralytics Conv: conv (no bias) + BatchNorm2d(eps 1e-3, mom .03) + SiLU."""
+
+    def __init__(self, c1, c2, k=1, s=1, g=1, act=True):
+        super().__init__()
+        self.conv = tnn.Conv2d(c1, c2, k, s, _autopad(k), groups=g, bias=False)
+        self.bn = tnn.BatchNorm2d(c2, eps=1e-3, momentum=0.03)
+        self.act = tnn.SiLU() if act else tnn.Identity()
+
+    def forward(self, x):
+        return self.act(self.bn(self.conv(x)))
+
+
+class TGhostConv(tnn.Module):
+    def __init__(self, c1, c2, k=1, s=1, act=True):
+        super().__init__()
+        c_ = c2 // 2
+        self.cv1 = TConv(c1, c_, k, s, 1, act)
+        self.cv2 = TConv(c_, c_, 5, 1, c_, act)
+
+    def forward(self, x):
+        y = self.cv1(x)
+        return torch.cat([y, self.cv2(y)], 1)
+
+
+class TGhostBottleneck(tnn.Module):
+    """Stride-1 GhostBottleneck: conv.1 is nn.Identity (the mapping the
+    round-1 converter got wrong — ghost2 must land at conv.2)."""
+
+    def __init__(self, c1, c2):
+        super().__init__()
+        c_ = c2 // 2
+        self.conv = tnn.Sequential(
+            TGhostConv(c1, c_, 1, 1),
+            tnn.Identity(),
+            TGhostConv(c_, c2, 1, 1, act=False),
+        )
+        self.shortcut = tnn.Identity()
+
+    def forward(self, x):
+        return self.conv(x) + self.shortcut(x)
+
+
+class TC3Ghost(tnn.Module):
+    def __init__(self, c1, c2, n=1, e=0.5):
+        super().__init__()
+        c_ = int(c2 * e)
+        self.cv1 = TConv(c1, c_, 1, 1)
+        self.cv2 = TConv(c1, c_, 1, 1)
+        self.cv3 = TConv(2 * c_, c2, 1)
+        self.m = tnn.Sequential(*(TGhostBottleneck(c_, c_) for _ in range(n)))
+
+    def forward(self, x):
+        return self.cv3(torch.cat([self.m(self.cv1(x)), self.cv2(x)], 1))
+
+
+class TAAttn(tnn.Module):
+    """ultralytics v12 area attention (head-major-interleaved qkv layout)."""
+
+    def __init__(self, dim, num_heads, area=1):
+        super().__init__()
+        self.area = area
+        self.num_heads = num_heads
+        self.head_dim = dim // num_heads
+        self.qkv = TConv(dim, dim * 3, 1, act=False)
+        self.proj = TConv(dim, dim, 1, act=False)
+        self.pe = TConv(dim, dim, 7, 1, g=dim, act=False)
+
+    def forward(self, x):
+        B, C, H, W = x.shape
+        N = H * W
+        hd = self.head_dim
+        qkv = self.qkv(x).flatten(2).transpose(1, 2)        # (B, N, 3C)
+        if self.area > 1:
+            qkv = qkv.reshape(B * self.area, N // self.area, C * 3)
+            B, N, _ = qkv.shape
+        q, k, v = (qkv.view(B, N, self.num_heads, hd * 3)
+                   .permute(0, 2, 3, 1)                     # (B, h, 3hd, N)
+                   .split([hd, hd, hd], dim=2))
+        attn = (q.transpose(-2, -1) @ k) * (hd ** -0.5)     # (B, h, N, N)
+        attn = attn.softmax(dim=-1)
+        o = v @ attn.transpose(-2, -1)                      # (B, h, hd, N)
+        o = o.permute(0, 3, 1, 2)                           # (B, N, h, hd)
+        v = v.permute(0, 3, 1, 2)
+        if self.area > 1:
+            o = o.reshape(B // self.area, N * self.area, C)
+            v = v.reshape(B // self.area, N * self.area, C)
+            B, N, _ = o.shape
+        o = o.reshape(B, H, W, C).permute(0, 3, 1, 2).contiguous()
+        v = v.reshape(B, H, W, C).permute(0, 3, 1, 2).contiguous()
+        return self.proj(o + self.pe(v))
+
+
+class TABlock(tnn.Module):
+    def __init__(self, dim, num_heads, mlp_ratio=2.0, area=1):
+        super().__init__()
+        self.attn = TAAttn(dim, num_heads, area)
+        h = int(dim * mlp_ratio)
+        self.mlp = tnn.Sequential(TConv(dim, h, 1), TConv(h, dim, 1, act=False))
+
+    def forward(self, x):
+        x = x + self.attn(x)
+        return x + self.mlp(x)
+
+
+class TA2C2f(tnn.Module):
+    def __init__(self, c1, c2, n=1, area=1, residual=True, e=0.5):
+        super().__init__()
+        c_ = int(c2 * e)
+        self.cv1 = TConv(c1, c_, 1, 1)
+        self.cv2 = TConv((1 + n) * c_, c2, 1)
+        self.gamma = tnn.Parameter(0.01 * torch.ones(c2))
+        self.residual = residual
+        self.m = tnn.ModuleList(
+            tnn.Sequential(*(TABlock(c_, max(1, c_ // 32), 2.0, area)
+                             for _ in range(2)))
+            for _ in range(n))
+
+    def forward(self, x):
+        y = [self.cv1(x)]
+        y.extend(m(y[-1]) for m in self.m)
+        out = self.cv2(torch.cat(y, 1))
+        if self.residual:
+            return x + self.gamma.view(1, -1, 1, 1) * out
+        return out
+
+
+def _randomize(module):
+    """Random params + random (positive-var) BN running stats, eval mode."""
+    g = torch.Generator().manual_seed(7)
+    with torch.no_grad():
+        for p in module.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.2)
+        for m in module.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn(m.running_mean.shape,
+                                                 generator=g) * 0.1)
+                m.running_var.copy_(
+                    torch.rand(m.running_var.shape, generator=g) * 0.5 + 0.5)
+    module.eval()
+    return module
+
+
+def _sd(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()
+            if not k.endswith("num_batches_tracked")}
+
+
+def _compare(tmod, jmod, c_in, hw=8, atol=2e-5):
+    x = torch.randn(2, c_in, hw, hw, generator=torch.Generator().manual_seed(3))
+    with torch.no_grad():
+        want = tmod(x).numpy()
+    template = jmod.init(jax.random.key(0),
+                         jnp.zeros((2, hw, hw, c_in)), train=False)
+    variables, report = convert_state_dict(_sd(tmod),
+                                           jax.device_get(template),
+                                           strict=True)
+    assert not report["unused"], report["unused"][:8]
+    got = np.asarray(jmod.apply(variables, jnp.asarray(
+        x.numpy().transpose(0, 2, 3, 1)), train=False)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=atol, rtol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# converter + forward golden tests
+# --------------------------------------------------------------------------
+
+def test_golden_conv_bn_silu():
+    t = _randomize(TConv(4, 8, k=3, s=2))
+    _compare(t, ConvBNAct(8, 3, 2), 4)
+
+
+def test_golden_c3ghost_literal_names():
+    t = _randomize(TC3Ghost(8, 8, n=2))
+    # the literal ultralytics key set includes conv.2 (ghost2), never conv.1
+    keys = set(_sd(t))
+    assert "m.0.conv.2.cv1.conv.weight" in keys
+    assert not any(".conv.1." in k for k in keys)
+    _compare(t, C3Ghost(8, n=2), 8)
+
+
+def test_golden_a2c2f_area_attention():
+    t = _randomize(TA2C2f(64, 64, n=1, area=2, residual=True))
+    keys = set(_sd(t))
+    assert "m.0.0.attn.qkv.conv.weight" in keys and "gamma" in keys
+    _compare(t, A2C2f(64, n=1, a2=True, area=2, residual=True), 64,
+             atol=5e-5)
+
+
+# --------------------------------------------------------------------------
+# op-level goldens
+# --------------------------------------------------------------------------
+
+def test_golden_bilinear_upsample():
+    x = torch.randn(2, 5, 9, 7, generator=torch.Generator().manual_seed(1))
+    want = torch.nn.functional.interpolate(
+        x, size=(17, 20), mode="bilinear", align_corners=False).numpy()
+    got = np.asarray(upsample_bilinear_torch(
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), (17, 20)))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=1e-5)
+
+
+def test_golden_nearest_upsample():
+    x = torch.randn(1, 3, 5, 5)
+    want = torch.nn.functional.interpolate(x, scale_factor=2,
+                                           mode="nearest").numpy()
+    got = np.asarray(upsample2x(jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=0)
+
+
+def test_golden_bce_with_logits():
+    g = torch.Generator().manual_seed(2)
+    logits = torch.randn(4, 33, generator=g) * 5
+    target = torch.rand(4, 33, generator=g)
+    want = torch.nn.functional.binary_cross_entropy_with_logits(
+        logits, target, reduction="none").numpy()
+    got = np.asarray(bce_with_logits(jnp.asarray(logits.numpy()),
+                                     jnp.asarray(target.numpy())))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_golden_soft_dice_and_tversky():
+    g = torch.Generator().manual_seed(4)
+    logits = torch.randn(2, 1, 16, 16, generator=g)
+    target = (torch.rand(2, 1, 16, 16, generator=g) > 0.5).float()
+    p = torch.sigmoid(logits)
+    # MONAI DiceLoss(sigmoid=True, soft_label=True, batch=True) semantics
+    inter = torch.minimum(p, target).sum()
+    dice = (2 * inter + 1e-5) / (p.sum() + target.sum() + 1e-5)
+    want = float(1 - dice)
+    got = float(soft_dice_loss(jnp.asarray(logits.numpy()),
+                               jnp.asarray(target.numpy())))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # reference TverskyLoss (alpha=.4 FP, beta=.6 FN, smooth=1)
+    tp = (p * target).sum()
+    fp = ((1 - target) * p).sum()
+    fn = (target * (1 - p)).sum()
+    want_t = float(1 - (tp + 1) / (tp + 0.4 * fp + 0.6 * fn + 1))
+    got_t = float(tversky_loss(jnp.asarray(logits.numpy()),
+                               jnp.asarray(target.numpy())))
+    np.testing.assert_allclose(got_t, want_t, rtol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# greedy NMS keep-set parity vs a torch reference implementation
+# --------------------------------------------------------------------------
+
+def _torch_box_iou(a, b, eps=1e-7):
+    tl = torch.maximum(a[:, None, :2], b[None, :, :2])
+    br = torch.minimum(a[:, None, 2:], b[None, :, 2:])
+    inter = (br - tl).clamp(0).prod(-1)
+    area_a = (a[:, 2:] - a[:, :2]).prod(-1)
+    area_b = (b[:, 2:] - b[:, :2]).prod(-1)
+    return inter / (area_a[:, None] + area_b[None, :] - inter + eps)
+
+
+def _torch_greedy_nms(boxes, scores, iou_thres):
+    """Sequential sorted greedy loop — /root/reference/nms.py:239-296 behavior."""
+    order = scores.argsort(descending=True)
+    keep = []
+    while order.numel() > 0:
+        i = order[0]
+        keep.append(int(i))
+        if order.numel() == 1:
+            break
+        rest = order[1:]
+        iou = _torch_box_iou(boxes[i][None], boxes[rest])[0]
+        order = rest[iou <= iou_thres]
+    return keep
+
+
+def test_golden_nms_keep_set_parity():
+    """Same random multi-class predictions through torch greedy NMS and our
+    fixpoint kernel must produce identical (box, conf, cls) keep lists."""
+    rng = np.random.default_rng(5)
+    nc, n = 3, 200
+    conf_thres, iou_thres, max_wh = 0.25, 0.45, 7680.0
+    for trial in range(5):
+        cxy = rng.uniform(60, 400, (n, 2))
+        wh = rng.uniform(10, 120, (n, 2))
+        scores = rng.uniform(0, 1, (n, nc)) ** 2
+        pred = np.concatenate([cxy, wh, scores], 1).astype(np.float32)[None]
+
+        res = non_max_suppression(jnp.asarray(pred), conf_thres=conf_thres,
+                                  iou_thres=iou_thres, max_det=300, nc=nc,
+                                  method="greedy")
+        ours = np.asarray(res.as_pred()[0])[np.asarray(res.valid[0])]
+
+        t = torch.from_numpy(pred[0])
+        boxes = torch.cat([t[:, :2] - t[:, 2:4] / 2,
+                           t[:, :2] + t[:, 2:4] / 2], 1)
+        conf, cls = t[:, 4:4 + nc].max(1)
+        m = conf > conf_thres
+        boxes_m, conf_m, cls_m = boxes[m], conf[m], cls[m]
+        off = boxes_m + (cls_m[:, None].float() * max_wh)
+        keep = _torch_greedy_nms(off, conf_m, iou_thres)
+        order = sorted(keep, key=lambda i: -float(conf_m[i]))
+        want = np.stack([np.concatenate([boxes_m[i].numpy(),
+                                         [float(conf_m[i]), float(cls_m[i])]])
+                         for i in order])
+        assert ours.shape[0] == want.shape[0], trial
+        np.testing.assert_allclose(ours[:, :6], want, atol=1e-4,
+                                   err_msg=f"trial {trial}")
+
+
+# --------------------------------------------------------------------------
+# optimizer trajectory golden (AdamW + cosine, the decoder-trainer recipe)
+# --------------------------------------------------------------------------
+
+def test_golden_adamw_cosine_trajectory():
+    steps, lr0, wd = 30, 1e-2, 0.01
+    w0 = np.random.default_rng(6).normal(size=(16,)).astype(np.float32)
+    target = np.linspace(-1, 1, 16).astype(np.float32)
+
+    wt = torch.tensor(w0.copy(), requires_grad=True)
+    opt = torch.optim.AdamW([wt], lr=lr0, weight_decay=wd)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=steps)
+    for _ in range(steps):
+        opt.zero_grad()
+        loss = 0.5 * ((wt - torch.from_numpy(target)) ** 2).sum()
+        loss.backward()
+        opt.step()
+        sched.step()
+
+    schedule = optax.cosine_decay_schedule(lr0, decay_steps=steps)
+    tx = optax.adamw(schedule, weight_decay=wd)
+    wj = jnp.asarray(w0)
+    state = tx.init(wj)
+    for _ in range(steps):
+        grads = wj - jnp.asarray(target)
+        updates, state = tx.update(grads, state, wj)
+        wj = optax.apply_updates(wj, updates)
+
+    np.testing.assert_allclose(np.asarray(wj), wt.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
