@@ -61,7 +61,7 @@ class YoloSegDataset:
     polygons list) with polygons in normalized [0,1] coords."""
 
     def __init__(self, img_dir: str, imgsz: int = 160, channels: int = 4,
-                 cache: bool = True, cache_images: bool = False):
+                 cache: bool = True, cache_images=False):
         self.img_dir = img_dir
         self.imgsz = imgsz
         self.channels = channels
@@ -71,10 +71,14 @@ class YoloSegDataset:
         if not self.files:
             raise FileNotFoundError(f"no images in {img_dir}")
         self.labels = self._load_labels(cache)
-        # RAM image cache (custom_base.py:228-314 capability): decode once
+        # image cache (custom_base.py:228-314): True/"ram" decodes once into
+        # RAM; "disk" persists decoded arrays as .npy next to the images
+        # (custom_base.py:174-226 npy cache)
         self.cache_images = cache_images
+        self.disk_cache = cache_images == "disk"
         self._img_cache: Dict[int, np.ndarray] = {}
         self._mask_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        self._shape_cache: Dict[int, Tuple[int, int]] = {}
 
     def _cache_path(self) -> str:
         return os.path.join(self.img_dir, ".labels.cache.npz")
@@ -110,9 +114,16 @@ class YoloSegDataset:
     def __len__(self):
         return len(self.files)
 
-    def load_image(self, i: int) -> np.ndarray:
-        if self.cache_images and i in self._img_cache:
-            return self._img_cache[i]
+    def load_image_raw(self, i: int) -> np.ndarray:
+        """Decode at original resolution (channels harmonized). With
+        cache_images='disk', decoded arrays persist as `<image>.npy`
+        (custom_base.py:174-226 npy disk cache)."""
+        npy = self.files[i] + ".npy"
+        if self.disk_cache and os.path.exists(npy):
+            try:
+                return np.load(npy)
+            except Exception:  # corrupt cache: re-decode (custom_base.py:193)
+                os.remove(npy)
         flag = cv2.IMREAD_UNCHANGED if self.channels != 1 else cv2.IMREAD_GRAYSCALE
         img = cv2.imread(self.files[i], flag)
         if img is None:
@@ -127,6 +138,22 @@ class YoloSegDataset:
                 img = np.concatenate([img, extra], -1)
             else:
                 img = img[..., : self.channels]
+        if self.disk_cache:
+            try:
+                np.save(npy, img)
+            except Exception:
+                pass
+        return img
+
+    def orig_shape(self, i: int) -> Tuple[int, int]:
+        if i not in self._shape_cache:
+            self._shape_cache[i] = tuple(self.load_image_raw(i).shape[:2])
+        return self._shape_cache[i]
+
+    def load_image(self, i: int) -> np.ndarray:
+        if self.cache_images and i in self._img_cache:
+            return self._img_cache[i]
+        img = self.load_image_raw(i)
         if img.shape[:2] != (self.imgsz, self.imgsz):
             img = cv2.resize(img, (self.imgsz, self.imgsz),
                              interpolation=cv2.INTER_LINEAR)
@@ -158,6 +185,33 @@ class YoloSegDataset:
         return {"img": img, "masks": masks, "cls": cls,
                 "path": self.files[i]}
 
+    def item_rect(self, i: int, out_hw: Tuple[int, int]) -> Dict[str, np.ndarray]:
+        """Aspect-preserving letterboxed item at a rect-group shape
+        (custom_base.py:174-226 long-side resize + rect batching 316-339):
+        gray-114 padding, centered; instance masks rasterized in the
+        letterboxed frame so boxes_from_masks lands in out_hw pixels."""
+        img0 = self.load_image_raw(i)
+        h0, w0 = img0.shape[:2]
+        oh, ow = out_hw
+        gain = min(oh / h0, ow / w0)
+        nh, nw = max(1, round(h0 * gain)), max(1, round(w0 * gain))
+        resized = cv2.resize(img0, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        if resized.ndim == 2:
+            resized = resized[..., None]
+        canvas = np.full((oh, ow, img0.shape[2]), 114, img0.dtype)
+        top, left = (oh - nh) // 2, (ow - nw) // 2
+        canvas[top:top + nh, left:left + nw] = resized
+        items = self.labels[i]
+        masks = np.zeros((len(items), oh, ow), np.uint8)
+        cls = np.zeros((len(items),), np.int32)
+        for j, (c, poly) in enumerate(items):
+            cls[j] = c
+            pts = np.round(poly * np.array([w0, h0], np.float32) * gain
+                           + np.array([left, top], np.float32)).astype(np.int32)
+            cv2.fillPoly(masks[j], [pts], 1)
+        return {"img": canvas, "masks": masks, "cls": cls,
+                "path": self.files[i]}
+
 
 def boxes_from_masks(masks: np.ndarray) -> np.ndarray:
     """(n, H, W) -> (n, 4) normalized xywh from mask extents."""
@@ -176,17 +230,18 @@ def boxes_from_masks(masks: np.ndarray) -> np.ndarray:
 
 def collate_padded(items: List[Dict[str, np.ndarray]], max_inst: int,
                    mask_ratio: int = 4) -> Dict[str, np.ndarray]:
-    """Stack to fixed shapes: imgs (B,S,S,C) u8, cls (B,G), bboxes (B,G,4)
-    xywh-norm, valid (B,G), masks (B,G,S/mr,S/mr) f32 (proto resolution)."""
+    """Stack to fixed shapes: imgs (B,H,W,C) u8, cls (B,G), bboxes (B,G,4)
+    xywh-norm, valid (B,G), masks (B,G,H/mr,W/mr) f32 (proto resolution).
+    Works for square and rect (item_rect) items — all items in one batch must
+    share a shape."""
     b = len(items)
-    s = items[0]["img"].shape[0]
-    c = items[0]["img"].shape[2]
-    ms = s // mask_ratio
-    imgs = np.zeros((b, s, s, c), np.uint8)
+    h, w, c = items[0]["img"].shape
+    mh, mw = h // mask_ratio, w // mask_ratio
+    imgs = np.zeros((b, h, w, c), np.uint8)
     cls = np.zeros((b, max_inst), np.int32)
     bboxes = np.zeros((b, max_inst, 4), np.float32)
     valid = np.zeros((b, max_inst), bool)
-    masks = np.zeros((b, max_inst, ms, ms), np.float32)
+    masks = np.zeros((b, max_inst, mh, mw), np.float32)
     for i, it in enumerate(items):
         imgs[i] = it["img"]
         n = min(len(it["cls"]), max_inst)
@@ -196,10 +251,26 @@ def collate_padded(items: List[Dict[str, np.ndarray]], max_inst: int,
             bboxes[i, :n] = boxes_from_masks(m)
             valid[i, :n] = m.reshape(n, -1).any(-1)
             for j in range(n):
-                masks[i, j] = cv2.resize(m[j], (ms, ms),
+                masks[i, j] = cv2.resize(m[j], (mw, mh),
                                          interpolation=cv2.INTER_NEAREST)
     return {"img": imgs, "cls": cls, "bboxes": bboxes, "valid": valid,
             "masks": masks}
+
+
+def rect_batch_shape(shapes: List[Tuple[int, int]], imgsz: int,
+                     stride: int = 32, pad: float = 0.5) -> Tuple[int, int]:
+    """Common letterbox shape for one rect group (ultralytics
+    set_rectangle semantics, custom_base.py:316-339 with val pad 0.5,
+    custom_build_data.py:29): scale each image's long side to imgsz, take the
+    group max per dim, round up to a stride multiple with `pad` allowance."""
+    hs, ws = [], []
+    for h, w in shapes:
+        g = imgsz / max(h, w)
+        hs.append(h * g)
+        ws.append(w * g)
+    oh = int(np.ceil(max(hs) / stride + pad)) * stride
+    ow = int(np.ceil(max(ws) / stride + pad)) * stride
+    return oh, ow
 
 
 def collate_idmap(items: List[Dict[str, np.ndarray]], max_inst: int) -> Dict[str, np.ndarray]:

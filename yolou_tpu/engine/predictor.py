@@ -200,28 +200,39 @@ class Predictor:
 
     def __call__(self, source: Source) -> List[Results]:
         items = load_source(source, self.channels)
-        results: List[Results] = []
-        for start in range(0, len(items), self.batch_size):
-            chunk = list(items[start:start + self.batch_size])
-            n_real = len(chunk)
-            while len(chunk) < self.batch_size:  # pad count with first element
-                chunk.append(chunk[0])
-            imgs = np.stack([c[1] for c in chunk])
-            pre_scaled = self.retina_masks and self.task == "segment"
-            if pre_scaled:
-                dets, masks, _ = self._infer_retina(
-                    self.variables, jnp.asarray(imgs), tuple(imgs.shape[1:3]))
-            else:
-                dets, masks, _ = self._infer(self.variables, jnp.asarray(imgs))
-            dets_np = jax.device_get(dets)
-            masks_np = np.asarray(masks) if masks is not None else None
-            for i in range(n_real):
-                path, orig = items[start + i]
-                results.append(self._build_result(
-                    path, orig, dets_np.boxes[i], dets_np.conf[i],
-                    dets_np.cls[i], dets_np.valid[i],
-                    masks_np[i] if masks_np is not None else None,
-                    pre_scaled=pre_scaled))
+        # Bucket by original HxW: a directory of heterogeneous images (the
+        # ordinary ultralytics predict case) batches per shape — each bucket
+        # hits its own cached jit specialization — and results return in
+        # source order.
+        buckets: Dict[Tuple[int, int], List[int]] = {}
+        for idx, (_, img) in enumerate(items):
+            buckets.setdefault(tuple(img.shape[:2]), []).append(idx)
+        results: List[Optional[Results]] = [None] * len(items)
+        for idxs in buckets.values():
+            for start in range(0, len(idxs), self.batch_size):
+                sel = idxs[start:start + self.batch_size]
+                chunk = [items[j] for j in sel]
+                n_real = len(chunk)
+                while len(chunk) < self.batch_size:  # pad with first element
+                    chunk.append(chunk[0])
+                imgs = np.stack([c[1] for c in chunk])
+                pre_scaled = self.retina_masks and self.task == "segment"
+                if pre_scaled:
+                    dets, masks, _ = self._infer_retina(
+                        self.variables, jnp.asarray(imgs),
+                        tuple(imgs.shape[1:3]))
+                else:
+                    dets, masks, _ = self._infer(self.variables,
+                                                 jnp.asarray(imgs))
+                dets_np = jax.device_get(dets)
+                masks_np = np.asarray(masks) if masks is not None else None
+                for i in range(n_real):
+                    path, orig = items[sel[i]]
+                    results[sel[i]] = self._build_result(
+                        path, orig, dets_np.boxes[i], dets_np.conf[i],
+                        dets_np.cls[i], dets_np.valid[i],
+                        masks_np[i] if masks_np is not None else None,
+                        pre_scaled=pre_scaled)
         return results
 
     def _build_result(self, path, orig, boxes, conf, cls, valid, masks,
