@@ -38,7 +38,7 @@ def _build(backend_device, dtype_name="bfloat16", batch=16, imgsz=640):
 
         @jax.jit
         def fn(variables, imgs_u8):
-            x = letterbox_batch(imgs_u8, (imgsz, imgsz))
+            x = letterbox_batch(imgs_u8, (imgsz, imgsz), out_dtype=dtype)
             out = model.apply(variables, x, train=False)
             dets = non_max_suppression(out.preds.astype(jnp.float32),
                                        conf_thres=0.25, iou_thres=0.45,
@@ -121,12 +121,55 @@ def main():
     except Exception as e:
         details["latency_error"] = str(e)[:200]
 
-    # --- CPU reference proxy (float32, small batch, few iters)
+    # --- p50 NMS+decode-only latency (BASELINE.json names this surface):
+    # slope timing over chained NMS calls (sub-ms singles are tunnel noise)
+    try:
+        import jax.numpy as jnp
+        from yolou_tpu.ops.nms import non_max_suppression
+
+        rng = np.random.default_rng(1)
+        preds = jax.device_put(jnp.asarray(
+            rng.normal(0, 1, (1, 8400, 5 + 32)).astype(np.float32)
+            * np.array([640, 640, 80, 80] + [1] * 33, np.float32)), tpu)
+        nmsfn = jax.jit(lambda p: non_max_suppression(
+            p, conf_thres=0.25, iou_thres=0.45, max_det=300, nc=1).as_pred())
+        sm = jax.jit(lambda o: jnp.sum(o))
+
+        def run_nms(n):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n):
+                out = nmsfn(preds)
+            float(sm(out))
+            return time.perf_counter() - t0
+
+        run_nms(1)
+        t1 = min(run_nms(1) for _ in range(3))
+        samples = [(run_nms(51) - t1) / 50 for _ in range(3)]
+        details["p50_nms_decode_latency_ms_b1"] = float(
+            np.percentile(samples, 50) * 1e3)
+    except Exception as e:
+        details["nms_latency_error"] = str(e)[:200]
+
+    # --- CPU reference proxy (float32, small batch). The divisor of the
+    # headline vs_baseline number: measure 10 independent single-batch times
+    # and report median + spread, not one noisy 3-iter slope.
     cpu_ips = None
     try:
         fnc, vc, imgc = _build(cpu, "float32", 4)
-        cpu_ips, _ = _throughput(fnc, vc, imgc, iters=3, warmup=1)
+        times = []
+        fnc(vc, imgc)[0].block_until_ready()          # compile + warm
+        for _ in range(10):
+            t0 = time.perf_counter()
+            fnc(vc, imgc)[0].block_until_ready()
+            times.append(time.perf_counter() - t0)
+        times = np.asarray(times)
+        cpu_ips = imgc.shape[0] / float(np.median(times))
         details["cpu_ips_b4"] = cpu_ips
+        details["cpu_batch_time_s"] = {
+            "median": float(np.median(times)), "min": float(times.min()),
+            "max": float(times.max()), "std": float(times.std()),
+            "iters": len(times)}
     except Exception as e:
         details["cpu_error"] = str(e)[:200]
 

@@ -16,13 +16,16 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("new_hw", "scaleup"))
+@partial(jax.jit, static_argnames=("new_hw", "scaleup", "out_dtype"))
 def letterbox_batch(imgs: jax.Array, new_hw: Tuple[int, int] = (640, 640),
-                    scaleup: bool = True, pad_value: float = 114.0) -> jax.Array:
-    """Letterbox a uniform batch (B, H, W, C) uint8/float -> (B, nh, nw, C) float32 in [0,1].
+                    scaleup: bool = True, pad_value: float = 114.0,
+                    out_dtype=jnp.float32) -> jax.Array:
+    """Letterbox a uniform batch (B, H, W, C) uint8/float -> (B, nh, nw, C) in [0,1].
 
     All images in the batch share one source shape (BraTS slices are uniform),
     so the scale/pad geometry is static and the op jit-compiles once.
+    out_dtype=bfloat16 halves the biggest HBM tensor on the inference path
+    (8-bit/255 values carry ~8 significant bits — bf16-exact to 2^-9).
     """
     b, h, w, c = imgs.shape
     nh, nw = new_hw
@@ -37,7 +40,7 @@ def letterbox_batch(imgs: jax.Array, new_hw: Tuple[int, int] = (640, 640),
     left = int(round((nw - uw) / 2 - 0.1))
     out = jnp.full((b, nh, nw, c), pad_value, jnp.float32)
     out = jax.lax.dynamic_update_slice(out, x, (0, top, left, 0))
-    return out / 255.0
+    return (out / 255.0).astype(out_dtype)
 
 
 @partial(jax.jit, static_argnames=("size",))
