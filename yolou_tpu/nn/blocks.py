@@ -370,70 +370,6 @@ class DoubleLightConv(nn.Module):
         return y + r
 
 
-class ChannelAttention(nn.Module):
-    """CBAM channel attention (global pool -> 1x1 conv -> sigmoid)."""
-
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        c = x.shape[-1]
-        y = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
-        y = nn.Conv(c, (1, 1), use_bias=True, dtype=jnp.float32, name="fc")(y)
-        return (x * jax.nn.sigmoid(y).astype(x.dtype)).astype(self.dtype)
-
-
-class SpatialAttention(nn.Module):
-    """CBAM spatial attention (channel mean/max -> kxk conv -> sigmoid)."""
-
-    k: int = 7
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        mx = jnp.max(x, axis=-1, keepdims=True)
-        p = self.k // 2
-        a = nn.Conv(1, (self.k, self.k), padding=((p, p), (p, p)), use_bias=True,
-                    dtype=jnp.float32, name="conv")(jnp.concatenate([mean, mx], -1).astype(jnp.float32))
-        return (x * jax.nn.sigmoid(a).astype(x.dtype)).astype(self.dtype)
-
-
-class CBAM(nn.Module):
-    """Convolutional block attention module (imported by the reference decoder file)."""
-
-    k: int = 7
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = ChannelAttention(dtype=self.dtype, name="channel")(x, train)
-        return SpatialAttention(self.k, dtype=self.dtype, name="spatial")(x, train)
-
-
-class ConvTransposeBNAct(nn.Module):
-    """ConvTranspose + optional BN + act (ultralytics ConvTranspose equivalent)."""
-
-    c2: int
-    k: int = 2
-    s: int = 2
-    bn: bool = True
-    act: bool = True
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = nn.ConvTranspose(self.c2, (self.k, self.k), strides=(self.s, self.s),
-                             padding="VALID", use_bias=not self.bn, dtype=self.dtype,
-                             param_dtype=jnp.float32, name="convt")(x)
-        if self.bn:
-            x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                             epsilon=BN_EPS, dtype=jnp.float32, name="bn")(x)
-        if self.act:
-            x = nn.silu(x)
-        return x.astype(self.dtype)
-
-
 def upsample2x(x: jax.Array, method: str = "nearest") -> jax.Array:
     """2x spatial upsample. nearest matches torch nn.Upsample(scale_factor=2)."""
     b, h, w, c = x.shape
