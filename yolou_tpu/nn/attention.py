@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import C3k, ConvBNAct
+from .blocks import C3k, ConvBNAct, FoldedConvBN
 
 Dtype = Any
 
@@ -46,10 +46,28 @@ class AAttn(nn.Module):
         # (view(B,N,heads,3*hd).split); the torch->flax converter permutes
         # the qkv conv/BN output channels once at load time
         # (tools/torch2jax.py::aattn_qkv_permutation) — same function.
-        qkv = ConvBNAct(self.dim * 3, 1, act=False, dtype=self.dtype, name="qkv")(x, train)
-
         n = H * W
         area = self.area if n % self.area == 0 else 1
+
+        if self.use_pallas and not train:
+            # Mega-kernel eval path: qkv conv+BN fold into an affine GEMM
+            # computed inside the attention kernel — q/k/v never round-trip
+            # HBM. Shares ConvBNAct's exact variable tree via _FoldedConvBN.
+            from ..ops.pallas_attn import area_attention_qkv_fused
+
+            wq, bq = FoldedConvBN(C, self.dim * 3, name="qkv")()
+            xt = x.reshape(B * area, n // area, C)
+            out, v = area_attention_qkv_fused(
+                xt, wq[0, 0].astype(self.dtype), bq[None].astype(jnp.float32),
+                self.num_heads)
+            out = out.reshape(B, H, W, self.dim).astype(self.dtype)
+            v_spatial = v.reshape(B, H, W, self.dim)
+            pe = ConvBNAct(self.dim, 7, g=self.dim, act=False, dtype=self.dtype,
+                           name="pe")(v_spatial, train)
+            return ConvBNAct(self.dim, 1, act=False, dtype=self.dtype,
+                             name="proj")(out + pe, train)
+
+        qkv = ConvBNAct(self.dim * 3, 1, act=False, dtype=self.dtype, name="qkv")(x, train)
         tokens = qkv.reshape(B * area, n // area, 3 * self.dim)
         q, k, v = jnp.split(tokens, 3, axis=-1)   # each (b', n', C) head-major
 

@@ -80,6 +80,66 @@ class ConvBNAct(nn.Module):
         return x.astype(self.dtype)
 
 
+class _ConvKernel(nn.Module):
+    """Bare conv kernel param with nn.Conv's name/init (for BN folding)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
+class _BNParams(nn.Module):
+    """Bare BatchNorm params/stats with nn.BatchNorm's names/inits."""
+
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.c,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.c,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.c,), jnp.float32))
+        return scale, bias, mean.value, var.value
+
+
+class FoldedConvBN(nn.Module):
+    """Declares the exact variable tree of ConvBNAct (conv/kernel +
+    bn/{scale,bias} + batch_stats bn/{mean,var}) but returns the running-
+    stats-folded affine (W', b') instead of applying it — so inference paths
+    can push the conv into a fused Pallas kernel while the train path keeps
+    calling the real ConvBNAct over the SAME variables."""
+
+    c1: int
+    c2: int
+    k: int = 1
+
+    @nn.compact
+    def __call__(self):
+        kern = _ConvKernel((self.k, self.k, self.c1, self.c2), name="conv")()
+        scale, bias, mean, var = _BNParams(self.c2, name="bn")()
+        inv = scale * jax.lax.rsqrt(var + BN_EPS)
+        return kern * inv, bias - mean * inv
+
+
+class ConvParams(nn.Module):
+    """Bare biased-conv params with nn.Conv's names/inits (kernel + bias)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        kern = self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.shape[-1],), jnp.float32)
+        return kern, bias
+
+
 class DWConv(nn.Module):
     """Depthwise conv (groups = gcd(c1, c2)), as in ultralytics DWConv."""
 

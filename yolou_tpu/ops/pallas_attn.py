@@ -239,6 +239,118 @@ def area_attention_fused(q: jax.Array, k: jax.Array, v: jax.Array,
     return _area_attention_fused(q, k, v, heads, interpret)
 
 
+# ---------------------------------------------------------------------------
+# Mega-kernel: folded qkv GEMM + multi-head band attention in one pass
+# ---------------------------------------------------------------------------
+#
+# At inference the qkv 1x1 conv + BN fold into one affine (C, 3C) GEMM whose
+# output feeds straight into the band attention. Keeping that GEMM inside the
+# kernel means q/k/v never round-trip HBM (the (B,H,W,3C) qkv tensor is 3x
+# the input): one read of x, one write of o and of v (v exits for the dw7x7
+# positional conv, which needs cross-band spatial context). Saves ~60% of
+# the attention stage's HBM traffic at b128/640 layer 6.
+
+
+def _qkv_attn_kernel(x_ref, w_ref, b_ref, o_ref, v_ref, *, heads: int,
+                     scale: float):
+    x = x_ref[:]                        # (GB, N, C)
+    w = w_ref[:]                        # (C, 3C) folded conv*BN
+    b = b_ref[:]                        # (1, 3C)
+    gb, n, c = x.shape
+    qkv = jax.lax.dot_general(
+        x, w, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b[None]
+    qkv = qkv.astype(x.dtype)           # (GB, N, 3C) role-major thirds
+    q, k, v = qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:]
+    v_ref[:] = v
+
+    hd = c // heads
+    ch = jax.lax.broadcasted_iota(jnp.int32, (heads, 1, c), 2) // hd
+    hh = jax.lax.broadcasted_iota(jnp.int32, (heads, 1, c), 0)
+    mask = (ch == hh).astype(q.dtype)   # (heads, 1, C)
+    qm = (q[:, None] * mask[None]).reshape(gb * heads, n, c)
+    km = jnp.broadcast_to(k[:, None],
+                          (gb, heads, n, c)).reshape(gb * heads, n, c)
+    s = jax.lax.dot_general(
+        qm, km, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = e.astype(v.dtype)
+    vm = (v[:, None] * mask[None]).reshape(gb * heads, n, c)
+    o_part = jax.lax.dot_general(
+        p, vm, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o = jnp.sum((o_part / denom).reshape(gb, heads, n, c), axis=1)
+    o_ref[:] = o.astype(o_ref.dtype)
+
+
+def _qkv_attn_reference(x, w, b, heads):
+    qkv = jax.lax.dot_general(
+        x, w, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b[0][None, None]
+    qkv = qkv.astype(x.dtype)
+    c = x.shape[-1]
+    q, k, v = qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:]
+    return area_attention_fused_reference(q, k, v, heads), v
+
+
+def _qkv_fused_fwd_impl(x, w, b, heads, interpret):
+    g, n, c = x.shape
+    scale = (c // heads) ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    gb = _fused_band_block(g, n, c, heads, vmem_budget=8 * 2 ** 20)
+    kern = functools.partial(_qkv_attn_kernel, heads=heads, scale=scale)
+    block = pl.BlockSpec((gb, n, c), lambda i: (i, 0, 0))
+    wspec = pl.BlockSpec((c, 3 * c), lambda i: (0, 0))
+    bspec = pl.BlockSpec((1, 3 * c), lambda i: (0, 0))
+    return pl.pallas_call(
+        kern,
+        grid=(g // gb,),
+        in_specs=[block, wspec, bspec],
+        out_specs=(block, block),
+        out_shape=(jax.ShapeDtypeStruct((g, n, c), x.dtype),
+                   jax.ShapeDtypeStruct((g, n, c), x.dtype)),
+        interpret=interpret,
+    )(x, w, b)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _area_attention_qkv(x, w, b, heads, interpret):
+    return _qkv_fused_fwd_impl(x, w, b, heads, interpret)
+
+
+def _aaq_fwd(x, w, b, heads, interpret):
+    return _qkv_fused_fwd_impl(x, w, b, heads, interpret), (x, w, b)
+
+
+def _aaq_bwd(heads, interpret, res, cots):
+    """XLA backward via the reference composition (eval-path kernel; training
+    uses the unfolded ConvBNAct + area_attention_fused path instead)."""
+    x, w, b = res
+    _, vjp = jax.vjp(lambda x, w, b: _qkv_attn_reference(x, w, b, heads),
+                     x, w, b)
+    return vjp(cots)
+
+
+_area_attention_qkv.defvjp(_aaq_fwd, _aaq_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def area_attention_qkv_fused(x: jax.Array, w: jax.Array, b: jax.Array,
+                             heads: int,
+                             interpret: bool | None = None):
+    """Fused (folded qkv affine) + multi-head band attention.
+
+    x: (G, N, C) band tokens; w: (C, 3C) folded conv*BN weight with
+    role-major output thirds; b: (1, 3C) folded bias. Returns (o, v), both
+    (G, N, C) — o is the attention output, v exits for the positional dw7x7.
+    """
+    return _area_attention_qkv(x, w, b, heads, interpret)
+
+
 def area_attention_fused_reference(q, k, v, heads: int) -> jax.Array:
     """Pure-XLA reference for the fused kernel (same math, head reshape)."""
     g, n, c = q.shape
