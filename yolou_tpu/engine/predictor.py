@@ -30,8 +30,10 @@ from ..ops.nms import non_max_suppression
 from ..ops import boxes as box_ops
 from .results import Boxes, Masks, Results
 
-IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".webp")
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".webp",
+            ".heic", ".heif")
 VID_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm", ".gif")
+STREAM_SCHEMES = ("rtsp://", "rtmp://", "http://", "https://", "tcp://")
 
 Source = Union[str, np.ndarray, Sequence[Union[str, np.ndarray]]]
 
@@ -55,6 +57,81 @@ def _read_video_frames(path: str, stride: int = 1) -> List[Tuple[str, np.ndarray
     return frames
 
 
+def _read_stream_frames(url: str, max_frames: int = 32,
+                        stride: int = 1) -> List[Tuple[str, np.ndarray]]:
+    """Network-stream ingestion (rtsp/rtmp/http; ultralytics LoadStreams
+    capability): reads up to max_frames frames then releases — the batched
+    predictor consumes finite clips, not an endless live loop."""
+    import cv2
+
+    cap = cv2.VideoCapture(url)
+    if not cap.isOpened():
+        raise IOError(f"cannot open stream {url}")
+    frames = []
+    i = 0
+    while len(frames) < max_frames:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if i % stride == 0:
+            frames.append((f"{url}#frame{i}", frame))
+        i += 1
+    cap.release()
+    return frames
+
+
+def _grab_screenshot(spec: str) -> np.ndarray:
+    """Screenshot source ("screen" / "screen<N>", ultralytics LoadScreenshots
+    capability). Uses mss when available, else PIL.ImageGrab; both are gated
+    — headless sandboxes raise an informative error instead of crashing."""
+    idx = int(spec[6:]) if len(spec) > 6 and spec[6:].isdigit() else 0
+    try:
+        import mss  # optional dependency
+
+        with mss.mss() as sct:
+            mon = sct.monitors[idx + 1 if len(sct.monitors) > 1 else 0]
+            shot = np.asarray(sct.grab(mon))[..., :3]       # BGRA -> BGR
+            return np.ascontiguousarray(shot)
+    except ImportError:
+        pass
+    try:
+        from PIL import ImageGrab
+
+        arr = np.asarray(ImageGrab.grab())
+        return arr[..., ::-1].copy()                         # RGB -> BGR
+    except Exception as e:  # pragma: no cover - needs a display
+        raise RuntimeError(
+            f"screenshot source {spec!r} needs `mss` or a display for "
+            f"PIL.ImageGrab: {e}") from e
+
+
+def _read_heic(path: str, channels: int) -> np.ndarray:
+    """HEIC/HEIF decode via PIL (+pillow-heif plugin when present) —
+    custom_load_images_and_videos.py:159-167 registers the same plugin."""
+    try:
+        import pillow_heif  # optional dependency
+
+        pillow_heif.register_heif_opener()
+    except ImportError:
+        pass
+    from PIL import Image
+
+    try:
+        img = Image.open(path)
+        img.load()
+    except Exception as e:
+        raise IOError(
+            f"cannot decode {path}: HEIC support needs the pillow-heif "
+            f"plugin ({e})") from e
+    mode = "RGBA" if channels >= 4 else ("L" if channels == 1 else "RGB")
+    arr = np.asarray(img.convert(mode))
+    if arr.ndim == 2:
+        return arr[..., None]
+    if arr.shape[-1] >= 3:  # RGB(A) -> BGR(A), matching cv2 decode order
+        arr = np.concatenate([arr[..., :3][..., ::-1], arr[..., 3:]], axis=-1)
+    return arr
+
+
 def load_source(source: Source, channels: int = 4) -> List[Tuple[str, np.ndarray]]:
     """Route any source to a list of (path, HWC uint8 image) pairs."""
     try:
@@ -63,6 +140,8 @@ def load_source(source: Source, channels: int = 4) -> List[Tuple[str, np.ndarray
         cv2 = None
 
     def read(path: str) -> np.ndarray:
+        if path.lower().endswith((".heic", ".heif")):
+            return _read_heic(path, channels)
         flag = cv2.IMREAD_UNCHANGED if channels != 1 else cv2.IMREAD_GRAYSCALE
         img = cv2.imread(path, flag)
         if img is None:
@@ -95,7 +174,11 @@ def load_source(source: Source, channels: int = 4) -> List[Tuple[str, np.ndarray
         for i, a in enumerate(arrs):
             items.append((f"array_{i}", np.asarray(a)))
     elif isinstance(source, str):
-        if os.path.isdir(source):
+        if source.lower().startswith(STREAM_SCHEMES):
+            items.extend(_read_stream_frames(source))
+        elif source.lower().startswith("screen"):
+            items.append((source, _grab_screenshot(source)))
+        elif os.path.isdir(source):
             for f in sorted(os.listdir(source)):
                 if f.lower().endswith(IMG_EXTS):
                     items.append((os.path.join(source, f),

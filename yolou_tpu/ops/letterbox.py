@@ -38,8 +38,11 @@ def letterbox_batch(imgs: jax.Array, new_hw: Tuple[int, int] = (640, 640),
         x = jax.image.resize(x, (b, uh, uw, c), method="linear")
     top = int(round((nh - uh) / 2 - 0.1))
     left = int(round((nw - uw) / 2 - 0.1))
-    out = jnp.full((b, nh, nw, c), pad_value, jnp.float32)
-    out = jax.lax.dynamic_update_slice(out, x, (0, top, left, 0))
+    # static jnp.pad (not full+dynamic_update_slice): the d_u_s pinned the
+    # output layout and forced XLA to insert a full-tensor relayout copy
+    # (420 MB at b128/640) between letterbox and the stem conv
+    out = jnp.pad(x, ((0, 0), (top, nh - uh - top), (left, nw - uw - left),
+                      (0, 0)), constant_values=pad_value)
     return (out / 255.0).astype(out_dtype)
 
 
