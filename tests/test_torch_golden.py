@@ -375,3 +375,109 @@ def test_golden_adamw_cosine_trajectory():
 
     np.testing.assert_allclose(np.asarray(wj), wt.detach().numpy(),
                                rtol=1e-5, atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# Full SegPP decoder golden: literal reference module tree through the
+# converter (YOLOSegPlusPlus.py:12-88 blocks, 156-178 decoder topology)
+# --------------------------------------------------------------------------
+
+class TLightConv(tnn.Module):
+    """ultralytics LightConv: 1x1 Conv (no act) + DWConv kxk (act)."""
+
+    def __init__(self, c1, c2, k=3):
+        super().__init__()
+        self.conv1 = TConv(c1, c2, 1, act=False)
+        self.conv2 = TConv(c2, c2, k, g=c2, act=True)
+
+    def forward(self, x):
+        return self.conv2(self.conv1(x))
+
+
+class TDoubleLightConv(tnn.Module):
+    """Reference DoubleLightConv (YOLOSegPlusPlus.py:33-58)."""
+
+    def __init__(self, c1, c2):
+        super().__init__()
+        self.conv = tnn.Sequential(TLightConv(c1, c2), TLightConv(c2, c2))
+        self.residual_conv = (tnn.Conv2d(c1, c2, 1) if c1 != c2
+                              else tnn.Identity())
+
+    def forward(self, x):
+        return self.conv(x) + self.residual_conv(x)
+
+
+class TECA(tnn.Module):
+    """Reference ECA (YOLOSegPlusPlus.py:60-88)."""
+
+    def __init__(self, k=3):
+        super().__init__()
+        self.avg_pool = tnn.AdaptiveAvgPool2d(1)
+        self.conv = tnn.Conv1d(1, 1, kernel_size=k, padding=(k - 1) // 2,
+                               bias=False)
+
+    def forward(self, x):
+        y = self.avg_pool(x)
+        y = self.conv(y.squeeze(-1).transpose(-1, -2)).transpose(-1, -2)
+        return x * torch.sigmoid(y.unsqueeze(-1)).expand_as(x)
+
+
+class TSegPPDecoder(tnn.Module):
+    """Reference decoder topology + literal state_dict names
+    (decoder.{i}.{j}..., output.*; YOLOSegPlusPlus.py:156-178)."""
+
+    def __init__(self):
+        super().__init__()
+        up = tnn.Upsample(scale_factor=2, mode="bilinear", align_corners=False)
+        self.decoder = tnn.ModuleList([
+            tnn.Sequential(TC3Ghost(128 + 1, 96, n=1), TECA()),
+            tnn.Sequential(up, TDoubleLightConv(96, 64)),
+            tnn.Sequential(TC3Ghost(64 + 64, 64, n=1), TECA()),
+            tnn.Sequential(up, TDoubleLightConv(64, 32)),
+            tnn.Sequential(up, TDoubleLightConv(32, 16)),
+        ])
+        self.output = tnn.Conv2d(16, 1, kernel_size=1)
+
+    def forward(self, skip2, skip4, logits):
+        x = torch.cat([skip4, logits], 1)
+        x = self.decoder[0](x)
+        x = self.decoder[1](x)
+        x = torch.cat([x, skip2], 1)
+        x = self.decoder[2](x)
+        x = self.decoder[3](x)
+        x = self.decoder[4](x)
+        return self.output(x)
+
+
+def test_golden_segpp_decoder_full():
+    """The ENTIRE SegPP decoder — C3Ghost/ECA/DoubleLightConv mixing stages,
+    bilinear upsamples, output conv — forward-matches the torch reference
+    structure through the converter (the ±0.005-Dice north star's numerics)."""
+    from yolou_tpu.models.segpp import SegPPDecoder
+
+    t = _randomize(TSegPPDecoder())
+    keys = set(_sd(t))
+    assert "decoder.0.0.cv1.conv.weight" in keys
+    assert "decoder.1.1.conv.0.conv1.conv.weight" in keys
+    assert "decoder.2.1.conv.weight" in keys            # ECA conv1d
+    assert "decoder.3.1.residual_conv.weight" in keys
+    assert "output.bias" in keys
+
+    g = torch.Generator().manual_seed(11)
+    skip2 = torch.randn(2, 64, 16, 16, generator=g)
+    skip4 = torch.randn(2, 128, 8, 8, generator=g)
+    logits = torch.rand(2, 1, 8, 8, generator=g)
+    with torch.no_grad():
+        want = t(skip2, skip4, logits).numpy()
+
+    jm = SegPPDecoder(use_logits=True)
+    nhwc = lambda a: jnp.asarray(a.numpy().transpose(0, 2, 3, 1))
+    template = jm.init(jax.random.key(0), nhwc(skip2), nhwc(skip4),
+                       nhwc(logits), train=False)
+    variables, report = convert_state_dict(_sd(t), jax.device_get(template),
+                                           strict=True)
+    assert not report["unused"], report["unused"][:8]
+    got = np.asarray(jm.apply(variables, nhwc(skip2), nhwc(skip4),
+                              nhwc(logits), train=False))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                               atol=5e-5, rtol=1e-4)

@@ -131,32 +131,57 @@ def _affine_inverse_params(key: jax.Array, hyp: AugHyp, in_size: float,
 
 # ---------------------------------------------------------------- mosaic
 
+def _mosaic_gather(img4, idmap4, yc, xc):
+    """One 2Sx2S random-center mosaic from 4 stacked (S,S,·) sources.
+
+    Ultralytics Mosaic semantics (v8_transforms Mosaic._mosaic4): the four
+    images meet at a random center (yc, xc); quadrant q shows the corner of
+    image q adjacent to the center, gray-114 where an image doesn't reach the
+    canvas edge. Fixed-shape JAX form: per-quadrant index gathers with
+    out-of-source masking (dynamic sizes become clamped indices + masks)."""
+    s = img4.shape[1]
+    ys = jnp.arange(2 * s)
+    xs = jnp.arange(2 * s)
+    # per-quadrant source coords: TL/TR rows are y - yc + S / y - yc (bottom
+    # vs top part of the source); same for columns
+    srcy_top = ys - yc + s          # quadrants 0,1 (rows above the center)
+    srcy_bot = ys - yc              # quadrants 2,3
+    srcx_left = xs - xc + s         # quadrants 0,2
+    srcx_right = xs - xc            # quadrants 1,3
+    qy = jnp.where(ys[:, None] < yc, srcy_top[:, None], srcy_bot[:, None])
+    qx = jnp.where(xs[None, :] < xc, srcx_left[None, :], srcx_right[None, :])
+    quad = (ys[:, None] >= yc) * 2 + (xs[None, :] >= xc)    # (2S,2S) in 0..3
+    inb = (qy >= 0) & (qy < s) & (qx >= 0) & (qx < s)
+    gy = jnp.clip(qy, 0, s - 1)
+    gx = jnp.clip(qx, 0, s - 1)
+    pix = img4[quad, gy, gx]                                # (2S,2S,C)
+    canvas = jnp.where(inb[..., None], pix, jnp.asarray(114.0, img4.dtype))
+    ids = jnp.where(inb, idmap4[quad, gy, gx], 0)
+    return canvas, ids
+
+
 def mosaic4(img: jax.Array, idmap: jax.Array, cls: jax.Array, valid: jax.Array,
             key: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Batch mosaic: each output is a 2Sx2S canvas of 4 permuted batch images.
+    """Batch mosaic: each output is a 2Sx2S canvas of 4 permuted batch images
+    meeting at a RANDOM center (ultralytics Mosaic: yc,xc ~ U(0.5S, 1.5S)),
+    gray-114 filled where sources don't reach.
 
     Instance ids are offset per quadrant (quadrant q hosts ids q*G+1..q*G+G);
     cls/valid expand to 4G slots. Caller reduces back to G after the affine.
     """
     b, s, _, _ = img.shape
     g = cls.shape[1]
-    perm = jax.random.permutation(key, b)
+    kperm, kc = jax.random.split(key)
+    perm = jax.random.permutation(kperm, b)
     rolls = [jnp.arange(b), perm, jnp.roll(perm, 1), jnp.roll(perm, 2)]
-
-    def quad(i):
-        return img[rolls[i]], idmap[rolls[i]], cls[rolls[i]], valid[rolls[i]]
-
-    (i0, m0, c0, v0), (i1, m1, c1, v1), (i2, m2, c2, v2), (i3, m3, c3, v3) = \
-        (quad(i) for i in range(4))
-    top = jnp.concatenate([i0, i1], axis=2)
-    bot = jnp.concatenate([i2, i3], axis=2)
-    canvas = jnp.concatenate([top, bot], axis=1)            # (B, 2S, 2S, C)
-    mm = [jnp.where(m > 0, m + q * g, 0) for q, m in enumerate((m0, m1, m2, m3))]
-    mtop = jnp.concatenate([mm[0], mm[1]], axis=2)
-    mbot = jnp.concatenate([mm[2], mm[3]], axis=2)
-    mcanvas = jnp.concatenate([mtop, mbot], axis=1)         # (B, 2S, 2S)
-    cls4 = jnp.concatenate([c0, c1, c2, c3], axis=1)        # (B, 4G)
-    val4 = jnp.concatenate([v0, v1, v2, v3], axis=1)
+    img4 = jnp.stack([img[r] for r in rolls], axis=1)       # (B,4,S,S,C)
+    m4 = jnp.stack([jnp.where(idmap[r] > 0, idmap[r] + q * g, 0)
+                    for q, r in enumerate(rolls)], axis=1)  # (B,4,S,S)
+    centers = jax.random.randint(kc, (b, 2), s // 2, 3 * s // 2 + 1)
+    canvas, mcanvas = jax.vmap(_mosaic_gather)(
+        img4, m4, centers[:, 0], centers[:, 1])
+    cls4 = jnp.concatenate([cls[r] for r in rolls], axis=1)   # (B, 4G)
+    val4 = jnp.concatenate([valid[r] for r in rolls], axis=1)
     return canvas, mcanvas, cls4, val4
 
 

@@ -55,6 +55,7 @@ def _module_segment(seg: str) -> Optional[str]:
         "ghost1": "conv.0", "ghost2": "conv.2", "dwmid": "conv.1",
         "sc_dw": "shortcut.0", "sc_pw": "shortcut.1",
         "conv_a": "conv.0", "conv_b": "conv.1",
+        "conv1d": "conv",               # ECA's Conv1d (YOLOSegPlusPlus.py:70)
         "residual": "residual_conv",
         # SegPP decoder (torch ModuleList of Sequentials,
         # YOLOSegPlusPlus.py:156-178; upsample is the parameterless [0])
