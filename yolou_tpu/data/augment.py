@@ -137,26 +137,29 @@ def _mosaic_gather(img4, idmap4, yc, xc):
     Ultralytics Mosaic semantics (v8_transforms Mosaic._mosaic4): the four
     images meet at a random center (yc, xc); quadrant q shows the corner of
     image q adjacent to the center, gray-114 where an image doesn't reach the
-    canvas edge. Fixed-shape JAX form: per-quadrant index gathers with
-    out-of-source masking (dynamic sizes become clamped indices + masks)."""
+    canvas edge. Fixed-shape JAX form: every quadrant's content is the FIXED
+    2x2 grid canvas shifted by the same (yc-S, xc-S) — quadrant q's source
+    corner sits adjacent to the grid junction — so ONE jnp.roll of the
+    concatenated canvas (lowers to dynamic slices; a general gather here cost
+    2.7x the whole train step) plus an in-bounds mask reproduces the random-
+    center paste exactly; roll wraparound always lands outside the mask."""
     s = img4.shape[1]
     ys = jnp.arange(2 * s)
     xs = jnp.arange(2 * s)
-    # per-quadrant source coords: TL/TR rows are y - yc + S / y - yc (bottom
-    # vs top part of the source); same for columns
-    srcy_top = ys - yc + s          # quadrants 0,1 (rows above the center)
-    srcy_bot = ys - yc              # quadrants 2,3
-    srcx_left = xs - xc + s         # quadrants 0,2
-    srcx_right = xs - xc            # quadrants 1,3
-    qy = jnp.where(ys[:, None] < yc, srcy_top[:, None], srcy_bot[:, None])
-    qx = jnp.where(xs[None, :] < xc, srcx_left[None, :], srcx_right[None, :])
-    quad = (ys[:, None] >= yc) * 2 + (xs[None, :] >= xc)    # (2S,2S) in 0..3
+    # true per-quadrant source coords (validity mask only)
+    qy = jnp.where(ys[:, None] < yc, ys[:, None] - yc + s, ys[:, None] - yc)
+    qx = jnp.where(xs[None, :] < xc, xs[None, :] - xc + s, xs[None, :] - xc)
     inb = (qy >= 0) & (qy < s) & (qx >= 0) & (qx < s)
-    gy = jnp.clip(qy, 0, s - 1)
-    gx = jnp.clip(qx, 0, s - 1)
-    pix = img4[quad, gy, gx]                                # (2S,2S,C)
-    canvas = jnp.where(inb[..., None], pix, jnp.asarray(114.0, img4.dtype))
-    ids = jnp.where(inb, idmap4[quad, gy, gx], 0)
+
+    grid = jnp.concatenate(
+        [jnp.concatenate([img4[0], img4[1]], axis=1),
+         jnp.concatenate([img4[2], img4[3]], axis=1)], axis=0)   # (2S,2S,C)
+    gids = jnp.concatenate(
+        [jnp.concatenate([idmap4[0], idmap4[1]], axis=1),
+         jnp.concatenate([idmap4[2], idmap4[3]], axis=1)], axis=0)
+    canvas = jnp.where(inb[..., None], jnp.roll(grid, (yc - s, xc - s), (0, 1)),
+                       jnp.asarray(114.0, img4.dtype))
+    ids = jnp.where(inb, jnp.roll(gids, (yc - s, xc - s), (0, 1)), 0)
     return canvas, ids
 
 
