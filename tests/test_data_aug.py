@@ -94,6 +94,15 @@ def test_augment_batch_end_to_end(dataset_root):
     assert out["masks"].shape == (4, 8, 40, 40)
     assert np.all(np.isfinite(np.asarray(out["img"])))
     assert float(out["img"].min()) >= 0 and float(out["img"].max()) <= 1
+    # regression guard (round-2): the mosaic fill must be on the [0,1] scale —
+    # a 114.0 fill on normalized images poisoned BN stats and collapsed
+    # training mAP to ~0 whenever the affine exposed unreached canvas
+    for seed in range(1, 6):
+        oi = augment_batch(img, jnp.asarray(idb["idmap"]),
+                           jnp.asarray(idb["cls"]), jnp.asarray(idb["valid"]),
+                           jax.random.key(seed), AugHyp(), g_out=8,
+                           mask_ratio=4)["img"]
+        assert float(oi.max()) <= 1.0 + 1e-6
     v = np.asarray(out["valid"])
     bb = np.asarray(out["bboxes"])
     mm = np.asarray(out["masks"])
@@ -134,7 +143,7 @@ def test_mosaic4_random_center_semantics():
 
     rng = np.random.default_rng(0)
     b, s, g = 6, 32, 4
-    img = jnp.asarray(rng.uniform(0, 255, (b, s, s, 4)).astype(np.float32))
+    img = jnp.asarray(rng.uniform(0, 1, (b, s, s, 4)).astype(np.float32))
     idmap = jnp.asarray(rng.integers(0, g + 1, (b, s, s)).astype(np.int32))
     cls = jnp.asarray(rng.integers(0, 3, (b, g)).astype(np.int32))
     valid = jnp.ones((b, g), bool)
@@ -158,7 +167,7 @@ def test_mosaic4_random_center_semantics():
         """ultralytics Mosaic._mosaic4: paste each source's corner region
         adjacent to the center, gray 114 elsewhere."""
         yc, xc = centers[i]
-        out = np.full((2 * s, 2 * s, 4), 114.0, np.float32)
+        out = np.full((2 * s, 2 * s, 4), 114.0 / 255.0, np.float32)
         ids = np.zeros((2 * s, 2 * s), np.int32)
         srcs = [img_np[rolls[q][i]] for q in range(4)]
         mids = [np.where(id_np[rolls[q][i]] > 0,

@@ -24,6 +24,8 @@ def main(argv=None):
     p.add_argument("--lr0", type=float, default=0.01)
     p.add_argument("--optimizer", default="sgd", choices=["sgd", "adamw"])
     p.add_argument("--close-mosaic", type=int, default=10)
+    p.add_argument("--val-every", type=int, default=0,
+                   help="mAP on val every N epochs (0 = off)")
     p.add_argument("--data-parallel", type=int, default=0)
     p.add_argument("--run-dir", default="runs_detector")
     p.add_argument("--out", default="yolo_checkpoint/weights/best.ckpt")
@@ -38,7 +40,8 @@ def main(argv=None):
     cfg = DetectorTrainConfig(
         imgsz=args.imgsz, batch_size=args.batch, epochs=args.epochs,
         lr0=args.lr0, optimizer=args.optimizer,
-        close_mosaic=args.close_mosaic, run_dir=args.run_dir)
+        close_mosaic=args.close_mosaic, run_dir=args.run_dir,
+        val_every=args.val_every)
     trainer = DetectorTrainer(model, variables, data_cfg, cfg, mesh=mesh)
     history = trainer.train(resume_from=args.resume)
     save_model(args.out, trainer.ema_variables(), variant=args.variant,

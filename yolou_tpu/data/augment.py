@@ -158,7 +158,7 @@ def _mosaic_gather(img4, idmap4, yc, xc):
         [jnp.concatenate([idmap4[0], idmap4[1]], axis=1),
          jnp.concatenate([idmap4[2], idmap4[3]], axis=1)], axis=0)
     canvas = jnp.where(inb[..., None], jnp.roll(grid, (yc - s, xc - s), (0, 1)),
-                       jnp.asarray(114.0, img4.dtype))
+                       jnp.asarray(GRAY, img4.dtype))
     ids = jnp.where(inb, jnp.roll(gids, (yc - s, xc - s), (0, 1)), 0)
     return canvas, ids
 
