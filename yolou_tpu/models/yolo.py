@@ -127,6 +127,7 @@ class YOLOModel(nn.Module):
     spec: ModelSpec
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    stem_s2d: bool = False   # inference: input is space_to_depth(x, 4)
 
     @nn.compact
     def __call__(self, x, train: bool = False, taps: Sequence[int] = (),
@@ -140,11 +141,41 @@ class YOLOModel(nn.Module):
         ys: list = []
         tap_out: Dict[int, jax.Array] = {}
 
-        def get(j: int) -> jax.Array:
+        def get(j: int):
             return ys[j] if j != -1 else (ys[-1] if ys else x)
 
+        # Concat layers are LAZY (a tuple of inputs): blocks whose entry is a
+        # 1x1 conv consume the tuple via a split-kernel GEMM sum (identical
+        # math + params; the concatenated tensor never hits HBM). Consumers
+        # that need a real tensor materialize here.
+        from ..nn.blocks import cat_channels
+
+        def get_mat(j: int) -> jax.Array:
+            return cat_channels(get(j))
+
         head_out = None
+        start = 0
+        if self.stem_s2d:
+            # Lane-dense stem on s2d(4) input (loader emits the layout; the
+            # on-device transpose costs 3.5+ ms and is never taken). Layers
+            # 0 and 1 must be the standard 3x3/s2 convs; ys[0]==ys[1]==stem
+            # output, so taps/frm below 2 are not supported in this mode.
+            from ..nn.blocks import FoldedConvBN, s2d_stem_apply
+            l0, l1 = spec.layers[0], spec.layers[1]
+            assert l0.block == "Conv" and l0.args[1:] == (3, 2), l0
+            assert l1.block == "Conv" and l1.args[1:] == (3, 2), l1
+            assert not train and (stop_at is None or stop_at > 2)
+            assert not any(t < 2 for t in taps)
+            ch = x.shape[-1] // 16
+            w0, b0 = FoldedConvBN(ch, l0.args[0], 3, name="model_0")()
+            w1, b1 = FoldedConvBN(l0.args[0], l1.args[0], 3, name="model_1")()
+            y = s2d_stem_apply(x, w0, b0, w1, b1, ch, l0.args[0], l1.args[0],
+                               self.dtype)
+            ys.extend([y, y])
+            start = 2
         for i, layer in enumerate(spec.layers):
+            if i < start:
+                continue
             if stop_at is not None and i >= stop_at:
                 break
             if layer.block == "Conv":
@@ -174,17 +205,29 @@ class YOLOModel(nn.Module):
                             name=f"model_{i}")(get(layer.frm[0]), train)
             elif layer.block == "SPPF":
                 y = SPPF(layer.args[0], layer.args[1], dtype=self.dtype,
-                         name=f"model_{i}")(get(layer.frm[0]), train)
+                         name=f"model_{i}")(get_mat(layer.frm[0]), train)
             elif layer.block == "C2PSA":
                 from ..nn.attention import C2PSA
                 y = C2PSA(layer.args[0], layer.repeats, dtype=self.dtype,
                           name=f"model_{i}")(get(layer.frm[0]), train)
             elif layer.block == "Upsample":
-                y = upsample2x(get(layer.frm[0]), layer.args[1])
+                v = get_mat(layer.frm[0])
+                if layer.args[1] == "nearest" and layer.args[0] == 2:
+                    from ..nn.blocks import LazyUpsample2x
+                    y = LazyUpsample2x(v)   # deferred; consumers materialize
+                else:
+                    y = upsample2x(v, layer.args[1])
             elif layer.block == "Concat":
-                y = jnp.concatenate([get(j) for j in layer.frm], axis=-1)
+                parts = []
+                for j in layer.frm:
+                    v = get(j)
+                    if isinstance(v, tuple):
+                        parts.extend(v)
+                    else:
+                        parts.append(v)   # arrays and LazyUpsample2x pieces
+                y = tuple(parts)
             elif layer.block == "HEAD":
-                feats = [get(j) for j in layer.frm]
+                feats = [get_mat(j) for j in layer.frm]
                 if spec.task == "segment":
                     raw, mc, protos = Segment(
                         spec.nc, spec.nm, spec.npr, spec.reg_max,
@@ -199,7 +242,7 @@ class YOLOModel(nn.Module):
                 raise ValueError(layer.block)
             ys.append(y)
             if i in taps:
-                tap_out[i] = y
+                tap_out[i] = cat_channels(y)
 
         if head_out is None:
             return YoloOutputs(raw=(), preds=None, mask_coefs=None, protos=None,
@@ -214,9 +257,10 @@ class YOLOModel(nn.Module):
 
 def build_yolo(arch: str = "yolov12", variant: str = "n", nc: int = 1, ch: int = 4,
                task: str = "detect", dtype: Dtype = jnp.float32,
-               use_pallas: bool = False) -> YOLOModel:
+               use_pallas: bool = False,
+               stem_s2d: bool = False) -> YOLOModel:
     return YOLOModel(spec=parse_model_spec(arch, variant, nc, ch, task),
-                     dtype=dtype, use_pallas=use_pallas)
+                     dtype=dtype, use_pallas=use_pallas, stem_s2d=stem_s2d)
 
 
 def init_model(model: YOLOModel, rng: jax.Array, imgsz: int = 160, ch: int = 4,

@@ -49,6 +49,12 @@ def get_lib(auto_build: bool = True):
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int)]
     lib.yio_load_batch.restype = ctypes.c_int
+    lib.yio_load_batch_s2d.argtypes = lib.yio_load_batch.argtypes
+    lib.yio_load_batch_s2d.restype = ctypes.c_int
+    lib.yio_s2d4.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8)]
+    lib.yio_s2d4.restype = None
     lib.yio_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -80,8 +86,14 @@ def decode_png(path: str) -> Optional[np.ndarray]:
 
 def load_batch(paths: List[str], imgsz: int, channels: int = 4,
                letterbox: bool = False, nearest: bool = False,
-               nthreads: int = 0) -> Tuple[Optional[np.ndarray], np.ndarray]:
+               nthreads: int = 0,
+               s2d: bool = False) -> Tuple[Optional[np.ndarray], np.ndarray]:
     """Threaded decode+resize of a file list into (N, imgsz, imgsz, C) uint8.
+
+    s2d=True emits each slot in space-to-depth(4) layout
+    (N, imgsz/4, imgsz/4, 16*C) — the stem's preferred lane-dense layout
+    (nn/blocks.py::s2d_stem_apply); the permutation rides the loader's write
+    pass so the device never pays an on-chip relayout.
 
     Returns (batch, status); batch is None if the library is unavailable.
     """
@@ -89,11 +101,27 @@ def load_batch(paths: List[str], imgsz: int, channels: int = 4,
     if lib is None:
         return None, np.full(len(paths), -100, np.int32)
     n = len(paths)
-    out = np.empty((n, imgsz, imgsz, channels), np.uint8)
+    shape = ((n, imgsz // 4, imgsz // 4, 16 * channels) if s2d
+             else (n, imgsz, imgsz, channels))
+    out = np.empty(shape, np.uint8)
     status = np.zeros(n, np.int32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    lib.yio_load_batch(
-        arr, n, imgsz, channels, int(letterbox), int(nearest), nthreads,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    fn = lib.yio_load_batch_s2d if s2d else lib.yio_load_batch
+    fn(arr, n, imgsz, channels, int(letterbox), int(nearest), nthreads,
+       out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+       status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
     return out, status
+
+
+def s2d4(batch: np.ndarray) -> Optional[np.ndarray]:
+    """Native space-to-depth(4) of an NHWC uint8 batch (host-side)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, s, _, c = batch.shape
+    batch = np.ascontiguousarray(batch)
+    out = np.empty((n, s // 4, s // 4, 16 * c), np.uint8)
+    for i in range(n):
+        lib.yio_s2d4(batch[i].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                     s, c, out[i].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out

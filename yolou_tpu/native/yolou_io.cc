@@ -205,9 +205,35 @@ int load_one(const char* path, int imgsz, int channels, int letterbox,
   return 0;
 }
 
+// NHWC (S,S,C) -> space-to-depth(4) (S/4, S/4, 16*C), channel order
+// (iy, ix, ci) — the stem's preferred layout (nn/blocks.py::s2d_stem_apply).
+// A pure index permutation done while the batch buffer is being written, so
+// the device never pays the 3.5+ ms on-chip relayout.
+void s2d4(const uint8_t* src, int imgsz, int channels, uint8_t* dst) {
+  const int ob = imgsz / 4;
+  const size_t row = size_t(imgsz) * channels;
+  for (int oy = 0; oy < ob; ++oy) {
+    for (int iy = 0; iy < 4; ++iy) {
+      const uint8_t* srow = src + (size_t(oy) * 4 + iy) * row;
+      uint8_t* drow = dst + (size_t(oy) * ob) * (16 * channels)
+                      + iy * 4 * channels;
+      for (int ox = 0; ox < ob; ++ox) {
+        // 4 consecutive source pixels (ix=0..3) are contiguous: one memcpy
+        memcpy(drow + size_t(ox) * 16 * channels,
+               srow + size_t(ox) * 4 * channels, 4 * channels);
+      }
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
+
+// Standalone s2d(4) permutation (for tests/benchmarks of the host cost).
+void yio_s2d4(const uint8_t* src, int imgsz, int channels, uint8_t* dst) {
+  s2d4(src, imgsz, channels, dst);
+}
 
 // Decode one PNG file; caller frees *out with yio_free. Returns 0 on success.
 int yio_decode_png_file(const char* path, uint8_t** out, int* h, int* w,
@@ -239,6 +265,35 @@ int yio_load_batch(const char** paths, int n, int imgsz, int channels,
       if (i >= n) return;
       int rc = load_one(paths[i], imgsz, channels, letterbox, nearest,
                         out + slot_size * i);
+      if (status) status[i] = rc;
+      if (rc != 0) failures.fetch_add(1);
+    }
+  };
+  int nt = nthreads > 0 ? nthreads : int(std::thread::hardware_concurrency());
+  if (nt > n) nt = n > 0 ? n : 1;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return failures.load() == 0 ? 0 : -1;
+}
+
+// Like yio_load_batch but emits each slot in space-to-depth(4) layout:
+// out[n, imgsz/4, imgsz/4, 16*channels]. Costs one thread-local NHWC staging
+// buffer per worker; the permutation itself is memcpy-dense.
+int yio_load_batch_s2d(const char** paths, int n, int imgsz, int channels,
+                       int letterbox, int nearest, int nthreads, uint8_t* out,
+                       int* status) {
+  std::atomic<int> next(0);
+  std::atomic<int> failures(0);
+  const size_t slot_size = size_t(imgsz) * imgsz * channels;
+  auto worker = [&]() {
+    std::vector<uint8_t> stage(slot_size);
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      int rc = load_one(paths[i], imgsz, channels, letterbox, nearest,
+                        stage.data());
+      if (rc == 0) s2d4(stage.data(), imgsz, channels, out + slot_size * i);
       if (status) status[i] = rc;
       if (rc != 0) failures.fetch_add(1);
     }

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import C3k, ConvBNAct, FoldedConvBN
+from .blocks import C3k, ConvBNAct, FoldedConvBN, cat_channels
 
 Dtype = Any
 
@@ -182,7 +182,7 @@ class C2PSA(nn.Module):
             b = PSABlock(c, max(1, c // 64), dtype=self.dtype,
                          name=f"m{i}")(b, train)
         return ConvBNAct(self.c2, 1, dtype=self.dtype, name="cv2")(
-            jnp.concatenate([a, b], axis=-1), train)
+            (a, b), train)
 
 
 class A2C2f(nn.Module):
@@ -208,6 +208,8 @@ class A2C2f(nn.Module):
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
         num_heads = max(1, c_ // 32)
+        if self.a2 and self.residual:
+            x = cat_channels(x)   # residual add needs the materialized input
         y = ConvBNAct(c_, 1, dtype=self.dtype, name="cv1")(x, train)
         ys = [y]
         for i in range(self.n):
@@ -221,9 +223,7 @@ class A2C2f(nn.Module):
                 z = C3k(c_, 2, self.shortcut, self.g, dtype=self.dtype,
                         name=f"m{i}")(ys[-1], train)
             ys.append(z)
-        out = ConvBNAct(self.c2, 1, dtype=self.dtype, name="cv2")(
-            jnp.concatenate(ys, axis=-1), train
-        )
+        out = ConvBNAct(self.c2, 1, dtype=self.dtype, name="cv2")(ys, train)
         if self.a2 and self.residual:
             gamma = self.param("gamma", lambda k: 0.01 * jnp.ones((self.c2,), jnp.float32))
             out = x + gamma.astype(out.dtype) * out

@@ -38,10 +38,52 @@ def autopad(k: int, p: int | None = None, d: int = 1) -> int:
     return k // 2 if p is None else p
 
 
+class LazyUpsample2x:
+    """Deferred nearest 2x upsample. A 1x1 conv commutes with nearest
+    upsampling — up(x) @ W == up(x @ W) — so a lazy consumer runs the GEMM at
+    1/4 the pixels and the upsampled tensor never hits HBM (the repeat fuses
+    into the add epilogue)."""
+
+    __slots__ = ("x",)
+
+    def __init__(self, x):
+        self.x = x
+
+    @property
+    def shape(self):
+        b, h, w, c = self.x.shape
+        return (b, 2 * h, 2 * w, c)
+
+    def materialize(self):
+        return upsample2x(self.x, "nearest")
+
+
+def _piece_channels(t) -> int:
+    return t.shape[-1]
+
+
+def cat_channels(x):
+    """Materialize a lazy channel-concat (tuple of NHWC tensors, possibly
+    containing LazyUpsample2x pieces)."""
+    if isinstance(x, LazyUpsample2x):
+        return x.materialize()
+    if isinstance(x, (tuple, list)):
+        return jnp.concatenate(
+            [t.materialize() if isinstance(t, LazyUpsample2x) else t
+             for t in x], axis=-1)
+    return x
+
+
 class ConvBNAct(nn.Module):
     """Conv2d (no bias) + BatchNorm + SiLU — the YOLO `Conv` block.
 
     NHWC; grouped convs use `feature_group_count`.
+
+    A tuple/list input is a LAZY channel concat: for a plain 1x1 conv the
+    kernel is sliced along the input-channel axis and the per-piece GEMMs
+    summed (exact same math and parameter tree as conv(concat(xs)), but the
+    concatenated tensor never exists in HBM — the concats feeding cv1/cv2 of
+    the CSP blocks are pure bandwidth at b128/640, see tools_concat_bench.py).
     """
 
     c2: int
@@ -54,19 +96,49 @@ class ConvBNAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        p = autopad(self.k, None, self.d)
-        x = nn.Conv(
-            features=self.c2,
-            kernel_size=(self.k, self.k),
-            strides=(self.s, self.s),
-            padding=((p, p), (p, p)),
-            feature_group_count=self.g,
-            kernel_dilation=(self.d, self.d),
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
+        if isinstance(x, LazyUpsample2x):
+            x = (x,)
+        if isinstance(x, (tuple, list)):
+            # split-GEMM only pays when every piece keeps the MXU K-dim
+            # lane-dense: measured on v5e (tools_concat_bench.py) 128+128 and
+            # 256+128 pieces win 0.7-1.0ms each, but 16/32/64-channel pieces
+            # LOSE up to 2x (lane-starved partial GEMMs cost more than the
+            # materialized concat). Gate on min piece width >= 128.
+            if (not (self.k == 1 and self.s == 1 and self.g == 1
+                     and self.d == 1)
+                    or min(t.shape[-1] for t in x) < 128):
+                x = cat_channels(x)
+        if isinstance(x, (tuple, list)):
+            cin = sum(t.shape[-1] for t in x)
+            w = _ConvKernel((1, 1, cin, self.c2), name="conv")().astype(self.dtype)
+            acc, off = None, 0
+            for t in x:
+                c = t.shape[-1]
+                up = isinstance(t, LazyUpsample2x)
+                src = t.x if up else t
+                part = jax.lax.conv_general_dilated(
+                    src.astype(self.dtype), w[:, :, off:off + c], (1, 1), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32)
+                if up:   # up(x) @ W == up(x @ W): GEMM ran at 1/4 the pixels
+                    part = jnp.repeat(jnp.repeat(part, 2, axis=1), 2, axis=2)
+                acc = part if acc is None else acc + part
+                off += c
+            x = acc
+        else:
+            p = autopad(self.k, None, self.d)
+            x = nn.Conv(
+                features=self.c2,
+                kernel_size=(self.k, self.k),
+                strides=(self.s, self.s),
+                padding=((p, p), (p, p)),
+                feature_group_count=self.g,
+                kernel_dilation=(self.d, self.d),
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
@@ -255,9 +327,7 @@ class C2f(nn.Module):
                 Bottleneck(c_, self.shortcut, self.g, k=(3, 3), e=1.0, dtype=self.dtype,
                            name=f"m{i}")(ys[-1], train)
             )
-        return ConvBNAct(self.c2, 1, dtype=self.dtype, name="cv2")(
-            jnp.concatenate(ys, axis=-1), train
-        )
+        return ConvBNAct(self.c2, 1, dtype=self.dtype, name="cv2")(ys, train)
 
 
 class C3(nn.Module):
@@ -282,9 +352,7 @@ class C3(nn.Module):
             k1 = k[1] if isinstance(k[1], int) else k[1][0]
             a = Bottleneck(c_, self.shortcut, self.g, k=(k0, k1), e=1.0, dtype=self.dtype,
                            name=f"m{i}")(a, train)
-        return ConvBNAct(self.c2, 1, dtype=self.dtype, name="cv3")(
-            jnp.concatenate([a, b], axis=-1), train
-        )
+        return ConvBNAct(self.c2, 1, dtype=self.dtype, name="cv3")((a, b), train)
 
 
 class C3k(nn.Module):
@@ -319,9 +387,7 @@ class C3Ghost(nn.Module):
         b = ConvBNAct(c_, 1, dtype=self.dtype, name="cv2")(x, train)
         for i in range(self.n):
             a = GhostBottleneck(c_, dtype=self.dtype, name=f"m{i}")(a, train)
-        return ConvBNAct(self.c2, 1, dtype=self.dtype, name="cv3")(
-            jnp.concatenate([a, b], axis=-1), train
-        )
+        return ConvBNAct(self.c2, 1, dtype=self.dtype, name="cv3")((a, b), train)
 
 
 class C3k2(nn.Module):
@@ -347,9 +413,7 @@ class C3k2(nn.Module):
                 m = Bottleneck(c_, self.shortcut, self.g, k=(3, 3), e=0.5,
                                dtype=self.dtype, name=f"m{i}")
             ys.append(m(ys[-1], train))
-        return ConvBNAct(self.c2, 1, dtype=self.dtype, name="cv2")(
-            jnp.concatenate(ys, axis=-1), train
-        )
+        return ConvBNAct(self.c2, 1, dtype=self.dtype, name="cv2")(ys, train)
 
 
 class SPPF(nn.Module):
@@ -370,8 +434,7 @@ class SPPF(nn.Module):
         y2 = pool(y1)
         y3 = pool(y2)
         return ConvBNAct(self.c2, 1, dtype=self.dtype, name="cv2")(
-            jnp.concatenate([y, y1, y2, y3], axis=-1), train
-        )
+            (y, y1, y2, y3), train)
 
 
 class ECA(nn.Module):
@@ -450,7 +513,13 @@ def upsample_bilinear_torch(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
 
 
 class Proto(nn.Module):
-    """YOLO segmentation mask Proto head: conv -> 2x deconv -> conv -> 1x1 conv."""
+    """YOLO segmentation mask Proto head: conv -> 2x deconv -> conv -> 1x1 conv.
+
+    (A composite-tail rewrite — convT∘cv2 folded into one 3x3 conv at input
+    res emitting s2d(2) output — was derived, verified exact, and measured
+    2x SLOWER than this staged form at b128/640 on v5e: the 64->256 3x3 at
+    80² is a bad Mosaic shape. Dead end recorded in CLAUDE.md; do not retry.)
+    """
 
     c_: int = 256
     c2: int = 32
@@ -464,3 +533,71 @@ class Proto(nn.Module):
                              name="upsample")(x)
         x = ConvBNAct(self.c_, 3, dtype=self.dtype, name="cv2")(x, train)
         return ConvBNAct(self.c2, 1, dtype=self.dtype, name="cv3")(x, train)
+
+
+# --------------------------------------------------------------- s2d stem
+
+def space_to_depth(x, b: int = 4):
+    """NHWC -> (B, H/b, W/b, b*b*C), channel order (iy, ix, ci).
+
+    On-device this is an expensive relayout (measured 3.5-4.1 ms at b128/640
+    even as a one-hot stride-4 conv); it exists for tests and host fallbacks.
+    The inference path gets s2d input FROM the loader (host emits it while
+    writing the decoded/letterboxed buffer anyway)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // b, b, W // b, b, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H // b, W // b, b * b * C)
+
+
+def s2d_stem_apply(x, w0, b0, w1, b1, ch: int, c0: int, c1: int, dtype):
+    """The first two YOLO convs (3x3/s2 ch->c0, 3x3/s2 c0->c1) evaluated on a
+    space-to-depth(4) input — inference-only lane-density rewrite.
+
+    The native stem is MXU-starved (4 input channels -> K=36 taps padded to a
+    128 lane tile; measured 3.2 ms vs a 0.6 ms compute bound at b128/640).
+    On s2d(4) input, conv0 becomes a k=2 conv with K=4*4*ch dense input
+    lanes producing the s2d(2) layout of its native output (output channel
+    order (py, px, co)), and conv1 becomes a k=2 conv whose output is the
+    native 1/4-res feature map — no relayout anywhere (the loader's s2d is
+    free, conv1 exits in native NHWC). Measured 3.20+0.95 -> 1.44+1.08 ms.
+
+    Exactness: out == native within bf16 rounding (tools_s2d_probe.py and
+    tests/test_s2d_stem.py). w/b are the BN-FOLDED affines of model_0/model_1
+    (FoldedConvBN), so checkpoints and the converter are untouched; SiLU
+    applied per conv as usual.
+
+    Weight map: original input row for output row 2*oy'+py (phase py of
+    output block oy') is 4*oy' + 2*py + ky - 1; with a one-block top/left
+    zero pad the within-window index is u = 2*py + ky + 3 in [3, 8) (conv0)
+    and u = ky + 1 in [1, 4) (conv1).
+    """
+    wp0 = jnp.zeros((2, 2, 4, 4, ch, 2, 2, c0), w0.dtype)
+    for py in range(2):
+        for px in range(2):
+            for ky in range(3):
+                for kx in range(3):
+                    u, v = 2 * py + ky + 3, 2 * px + kx + 3
+                    wp0 = wp0.at[u // 4, v // 4, u % 4, v % 4, :,
+                                 py, px, :].set(w0[ky, kx])
+    wp0 = wp0.reshape(2, 2, 16 * ch, 4 * c0)
+    bp0 = jnp.tile(b0, 4)
+
+    wp1 = jnp.zeros((2, 2, 2, 2, c0, c1), w1.dtype)
+    for ky in range(3):
+        for kx in range(3):
+            u, v = ky + 1, kx + 1
+            wp1 = wp1.at[u // 2, v // 2, u % 2, v % 2].set(w1[ky, kx])
+    wp1 = wp1.reshape(2, 2, 4 * c0, c1)
+
+    pad = ((1, 0), (1, 0))
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), wp0.astype(dtype), (1, 1), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32) + bp0
+    y = nn.silu(y).astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        y, wp1.astype(dtype), (1, 1), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32) + b1
+    return nn.silu(y).astype(dtype)

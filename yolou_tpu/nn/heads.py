@@ -70,7 +70,8 @@ class Segment(nn.Module):
 
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array], train: bool = False):
-        protos = Proto(self.npr, self.nm, dtype=self.dtype, name="proto")(feats[0], train)
+        protos = Proto(self.npr, self.nm, dtype=self.dtype,
+                       name="proto")(feats[0], train)
         raw = Detect(self.nc, self.reg_max, dtype=self.dtype, name="detect")(feats, train)
         c4 = max(feats[0].shape[-1] // 4, self.nm)
         coefs = []

@@ -163,13 +163,15 @@ def _fused_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
 
 
 def _fused_band_block(g: int, n: int, c: int, heads: int,
-                      vmem_budget: int = 10 * 2 ** 20) -> int:
+                      vmem_budget: int = 14 * 2 ** 20) -> int:
+    """Empirically on v5e at the backbone shapes, gb=2 wins: (512,400,64)h2
+    1.02ms vs 1.21 gb1 / 1.16 gb4; (128,400,128)h4 0.384 vs 0.490 gb1
+    (gb>=4 OOMs the 16MB scoped VMEM). Larger gb eats the double-buffering
+    headroom, so prefer 2 whenever the score/exp tiles fit the budget."""
     per_band = heads * n * n * 6 + 2 * heads * n * c * 4    # s+e fp32, partials
-    gb = max(1, vmem_budget // max(per_band, 1))
-    gb = min(gb, 8, g)
-    while g % gb:
-        gb -= 1
-    return max(gb, 1)
+    if g % 2 == 0 and 2 * per_band <= vmem_budget:
+        return 2
+    return 1
 
 
 def _fused_fwd_impl(q, k, v, heads, interpret):
@@ -301,7 +303,7 @@ def _qkv_fused_fwd_impl(x, w, b, heads, interpret):
     scale = (c // heads) ** -0.5
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    gb = _fused_band_block(g, n, c, heads, vmem_budget=8 * 2 ** 20)
+    gb = _fused_band_block(g, n, c, heads)
     kern = functools.partial(_qkv_attn_kernel, heads=heads, scale=scale)
     block = pl.BlockSpec((gb, n, c), lambda i: (i, 0, 0))
     wspec = pl.BlockSpec((c, 3 * c), lambda i: (0, 0))
