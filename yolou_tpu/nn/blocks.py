@@ -330,6 +330,27 @@ class C2f(nn.Module):
         return ConvBNAct(self.c2, 1, dtype=self.dtype, name="cv2")(ys, train)
 
 
+def _dual_entry_1x1(x, c_, dtype, train):
+    """The C3-family cv1/cv2 1x1+BN+SiLU pair reads the same input. At eval
+    the BNs fold and the pair runs as ONE 2x-wide conv (exact math, the
+    input is read from HBM once and the output GEMM is twice as lane-dense).
+    Variable tree is unchanged (FoldedConvBN mirrors ConvBNAct's names)."""
+    if train or isinstance(x, (tuple, list, LazyUpsample2x)):
+        a = ConvBNAct(c_, 1, dtype=dtype, name="cv1")(x, train)
+        b = ConvBNAct(c_, 1, dtype=dtype, name="cv2")(x, train)
+        return a, b
+    w1, b1 = FoldedConvBN(x.shape[-1], c_, 1, name="cv1")()
+    w2, b2 = FoldedConvBN(x.shape[-1], c_, 1, name="cv2")()
+    w = jnp.concatenate([w1, w2], axis=-1).astype(dtype)
+    bb = jnp.concatenate([b1, b2], axis=-1)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), w, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32) + bb[None, None, None]
+    y = nn.silu(y).astype(dtype)
+    return y[..., :c_], y[..., c_:]
+
+
 class C3(nn.Module):
     """CSP bottleneck with 3 convolutions."""
 
@@ -344,8 +365,7 @@ class C3(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
-        a = ConvBNAct(c_, 1, dtype=self.dtype, name="cv1")(x, train)
-        b = ConvBNAct(c_, 1, dtype=self.dtype, name="cv2")(x, train)
+        a, b = _dual_entry_1x1(x, c_, self.dtype, train)
         for i in range(self.n):
             k = self.k
             k0 = k[0] if isinstance(k[0], int) else k[0][0]
@@ -383,8 +403,7 @@ class C3Ghost(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
-        a = ConvBNAct(c_, 1, dtype=self.dtype, name="cv1")(x, train)
-        b = ConvBNAct(c_, 1, dtype=self.dtype, name="cv2")(x, train)
+        a, b = _dual_entry_1x1(x, c_, self.dtype, train)
         for i in range(self.n):
             a = GhostBottleneck(c_, dtype=self.dtype, name=f"m{i}")(a, train)
         return ConvBNAct(self.c2, 1, dtype=self.dtype, name="cv3")((a, b), train)
@@ -526,8 +545,18 @@ class Proto(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = ConvBNAct(self.c_, 3, dtype=self.dtype, name="cv1")(x, train)
+    def __call__(self, x, train: bool = False, phase: str = "full",
+                 first=None):
+        """phase="entry" declares cv1's FoldedConvBN mirror and returns its
+        folded (w, b) so Segment can batch it with the other P3 entry convs;
+        passing `first` consumes that precomputed cv1 output instead. Both
+        declare the exact staged variable tree."""
+        if phase == "entry":
+            return FoldedConvBN(x.shape[-1], self.c_, 3, name="cv1")()
+        if first is not None:
+            x = first
+        else:
+            x = ConvBNAct(self.c_, 3, dtype=self.dtype, name="cv1")(x, train)
         x = nn.ConvTranspose(self.c_, (2, 2), strides=(2, 2), padding="VALID",
                              use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
                              name="upsample")(x)

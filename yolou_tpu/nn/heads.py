@@ -7,21 +7,47 @@ is the single-class logit that the objectmap generator extracts
 (/root/reference/generate_objectmaps.py:91-96, evaluate_model.py:142-144).
 Decoding (DFL expectation + dist2bbox + stride scaling + sigmoid cls) lives in
 `decode_detections` so the loss can reuse anchors without re-decoding.
+
+Eval-path entry fusion: per level, the first 3x3 convs of the box branch
+(cv2_i_0), the mask-coefficient branch (cv4_i_0) and — at P3 — Proto's cv1
+all read the SAME feature map. At inference Segment folds their BN into the
+kernels and runs ONE wider 3x3 conv per level (exact same math; the feature
+map is read once instead of 2-3x — ~1 ms of HBM traffic at b128/640).
+The variable tree is unchanged: FoldedConvBN declares ConvBNAct's exact
+names, so checkpoints and the torch converter see identical params.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Any, List, Sequence
+from typing import Any, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.boxes import dfl_decode, dist2bbox, make_anchors
-from .blocks import ConvBNAct, DWConv, Proto
+from .blocks import ConvBNAct, DWConv, FoldedConvBN, Proto
 
 Dtype = Any
+
+
+def _fused_conv3x3(x, parts, dtype):
+    """One 3x3 conv for several folded (w, b) siblings sharing input `x`;
+    returns the SiLU'd output split back per sibling."""
+    w = jnp.concatenate([p[0] for p in parts], axis=-1).astype(dtype)
+    b = jnp.concatenate([p[1] for p in parts], axis=-1)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32) + b[None, None, None]
+    y = nn.silu(y).astype(dtype)
+    sizes = [p[0].shape[-1] for p in parts]
+    outs, off = [], 0
+    for s in sizes:
+        outs.append(y[..., off:off + s])
+        off += s
+    return outs
 
 
 class Detect(nn.Module):
@@ -29,6 +55,12 @@ class Detect(nn.Module):
 
     Per level: box branch (2x Conv3x3 -> 1x1 conv to 4*reg_max) and class
     branch (2x [DWConv3x3 + Conv1x1] -> 1x1 conv to nc). Returns raw NHWC maps.
+
+    `phase`: "full" — staged path (training / standalone detect task);
+    "entry" — declare + return the folded (w, b) of each level's cv2_i_0 so
+    the caller can batch them into a shared entry conv; "rest" — consume the
+    precomputed cv2_i_0 outputs (`first`) and run the remaining chain.
+    Both fused phases declare the exact variable tree of the staged path.
     """
 
     nc: int = 80
@@ -36,13 +68,20 @@ class Detect(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats: Sequence[jax.Array], train: bool = False) -> List[jax.Array]:
+    def __call__(self, feats: Sequence[jax.Array], train: bool = False,
+                 phase: str = "full", first: Optional[Sequence[jax.Array]] = None):
         ch = tuple(f.shape[-1] for f in feats)
         c2 = max(16, ch[0] // 4, self.reg_max * 4)
         c3 = max(ch[0], min(self.nc, 100))
+        if phase == "entry":
+            return [FoldedConvBN(ch[i], c2, 3, name=f"cv2_{i}_0")()
+                    for i in range(len(feats))]
         outs = []
         for i, x in enumerate(feats):
-            b = ConvBNAct(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
+            if phase == "rest":
+                b = first[i]
+            else:
+                b = ConvBNAct(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
             b = ConvBNAct(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(b, train)
             b = nn.Conv(4 * self.reg_max, (1, 1), use_bias=True, dtype=self.dtype,
                         param_dtype=jnp.float32, name=f"cv2_{i}_2")(b)
@@ -60,6 +99,8 @@ class Segment(nn.Module):
     """Segmentation head: Detect + mask-coefficient branch + Proto masks.
 
     Returns (raw_maps, mask_coefs (B, N, nm), protos (B, Hm, Wm, nm)).
+    At eval the per-level entry convs of Detect.cv2, cv4, and Proto.cv1 are
+    batched into one conv per level (see module docstring).
     """
 
     nc: int = 80
@@ -67,20 +108,48 @@ class Segment(nn.Module):
     npr: int = 256
     reg_max: int = 16
     dtype: Dtype = jnp.float32
+    fuse_entry: bool = True   # batch shared-input entry convs at eval
 
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array], train: bool = False):
-        protos = Proto(self.npr, self.nm, dtype=self.dtype,
-                       name="proto")(feats[0], train)
-        raw = Detect(self.nc, self.reg_max, dtype=self.dtype, name="detect")(feats, train)
         c4 = max(feats[0].shape[-1] // 4, self.nm)
-        coefs = []
+        proto = Proto(self.npr, self.nm, dtype=self.dtype, name="proto")
+        detect = Detect(self.nc, self.reg_max, dtype=self.dtype, name="detect")
+
+        if train or not self.fuse_entry:
+            protos = proto(feats[0], train)
+            raw = detect(feats, train)
+            coefs = []
+            for i, x in enumerate(feats):
+                m = ConvBNAct(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+                m = ConvBNAct(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(m, train)
+                m = nn.Conv(self.nm, (1, 1), use_bias=True, dtype=self.dtype,
+                            param_dtype=jnp.float32, name=f"cv4_{i}_2")(m)
+                coefs.append(m.reshape(m.shape[0], -1, self.nm))
+            mc = jnp.concatenate(coefs, axis=1)
+            return raw, mc, protos
+
+        # --- eval: shared-input entry convs batched per level ---
+        det_entry = detect(feats, train, phase="entry")
+        proto_entry = proto(feats[0], train, phase="entry")
+        det_first, coefs = [], []
+        proto_first = None
         for i, x in enumerate(feats):
-            m = ConvBNAct(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            parts = [det_entry[i],
+                     FoldedConvBN(x.shape[-1], c4, 3, name=f"cv4_{i}_0")()]
+            if i == 0:
+                parts.append(proto_entry)
+            outs = _fused_conv3x3(x, parts, self.dtype)
+            det_first.append(outs[0])
+            m = outs[1]
+            if i == 0:
+                proto_first = outs[2]
             m = ConvBNAct(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(m, train)
             m = nn.Conv(self.nm, (1, 1), use_bias=True, dtype=self.dtype,
                         param_dtype=jnp.float32, name=f"cv4_{i}_2")(m)
             coefs.append(m.reshape(m.shape[0], -1, self.nm))
+        protos = proto(feats[0], train, first=proto_first)
+        raw = detect(feats, train, phase="rest", first=det_first)
         mc = jnp.concatenate(coefs, axis=1)
         return raw, mc, protos
 
