@@ -58,3 +58,15 @@ def test_train_detector_cli(root, tmp_path):
     from yolou_tpu.utils.model_io import load_model
     model, variables = load_model(out_ckpt)
     assert model.spec.task == "segment"
+
+
+def test_predict_cli(root, tmp_path):
+    from yolou_tpu.cli.predict import main
+    out = str(tmp_path / "pred_out")
+    res = main(["--source", os.path.join(root, "images", "val"),
+                "--model", "/nonexistent.ckpt", "--imgsz", "96",
+                "--batch", "4", "--save-dir", out, "--stem-s2d"])
+    assert len(res) == 4
+    with open(os.path.join(out, "detections.json")) as f:
+        assert len(json.load(f)) == 4
+    assert any(f.endswith("_pred.png") for f in os.listdir(out))

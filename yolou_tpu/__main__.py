@@ -6,6 +6,7 @@ COMMANDS = {
     "train-decoder": "yolou_tpu.cli.train_decoder",
     "train-detector": "yolou_tpu.cli.train_detector",
     "evaluate": "yolou_tpu.cli.evaluate",
+    "predict": "yolou_tpu.cli.predict",
     "generate-objectmaps": "yolou_tpu.cli.generate_objectmaps",
     "generate-heatmaps": "yolou_tpu.cli.generate_heatmaps",
     "visualize-logits": "yolou_tpu.cli.visualize_logits",

@@ -234,11 +234,18 @@ class Predictor:
         self.names = names or {i: str(i) for i in range(model.spec.nc)}
         self.keep_orig_images = keep_orig_images
         self.retina_masks = retina_masks
+        # stem_s2d models take loader-layout space-to-depth(4) uint8 input;
+        # the predictor then letterboxes on HOST (native loader / cv2 — the
+        # reference's own preprocessing locus) instead of on device.
+        self.stem_s2d = bool(getattr(model, "stem_s2d", False))
         nm = model.spec.nm if self.task == "segment" else 0
 
         @jax.jit
         def infer(variables, imgs_u8):
-            x = letterbox_batch(imgs_u8, (imgsz, imgsz))
+            if self.stem_s2d:
+                x = (imgs_u8.astype(jnp.float32) / 255.0).astype(model.dtype)
+            else:
+                x = letterbox_batch(imgs_u8, (imgsz, imgsz))
             out = model.apply(variables, x, train=False)
             dets = non_max_suppression(out.preds, conf_thres=conf,
                                        iou_thres=iou, max_det=max_det,
@@ -272,13 +279,24 @@ class Predictor:
 
         @jax.jit
         def raw(variables, imgs):
-            x = letterbox_batch(imgs, (imgsz, imgsz))
+            if self.stem_s2d:
+                x = (imgs.astype(jnp.float32) / 255.0).astype(model.dtype)
+            else:
+                x = letterbox_batch(imgs, (imgsz, imgsz))
             return model.apply(variables, x, train=False)
 
         self._raw = raw
 
+    def _preprocess_host(self, imgs_u8: np.ndarray) -> np.ndarray:
+        """stem_s2d host path: letterbox (u8, reference semantics) + s2d(4)."""
+        from ..native.loader import host_letterbox_s2d
+
+        return host_letterbox_s2d(imgs_u8, self.imgsz)
+
     def raw_forward(self, imgs_u8: np.ndarray):
         """Letterbox + model forward only (objectmap/visualization path)."""
+        if self.stem_s2d:
+            imgs_u8 = self._preprocess_host(np.asarray(imgs_u8))
         return self._raw(self.variables, jnp.asarray(imgs_u8))
 
     def __call__(self, source: Source) -> List[Results]:
@@ -299,11 +317,13 @@ class Predictor:
                 while len(chunk) < self.batch_size:  # pad with first element
                     chunk.append(chunk[0])
                 imgs = np.stack([c[1] for c in chunk])
+                orig_hw = tuple(imgs.shape[1:3])
+                if self.stem_s2d:
+                    imgs = self._preprocess_host(imgs)
                 pre_scaled = self.retina_masks and self.task == "segment"
                 if pre_scaled:
                     dets, masks, _ = self._infer_retina(
-                        self.variables, jnp.asarray(imgs),
-                        tuple(imgs.shape[1:3]))
+                        self.variables, jnp.asarray(imgs), orig_hw)
                 else:
                     dets, masks, _ = self._infer(self.variables,
                                                  jnp.asarray(imgs))

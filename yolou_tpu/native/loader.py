@@ -125,3 +125,37 @@ def s2d4(batch: np.ndarray) -> Optional[np.ndarray]:
         lib.yio_s2d4(batch[i].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                      s, c, out[i].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out
+
+
+def s2d4_np(batch: np.ndarray) -> np.ndarray:
+    """Pure-numpy space-to-depth(4) fallback (same channel order (iy,ix,c)
+    as yio_s2d4 / nn.blocks.space_to_depth)."""
+    n, s, _, c = batch.shape
+    x = batch.reshape(n, s // 4, 4, s // 4, 4, c)
+    return np.ascontiguousarray(x.transpose(0, 1, 3, 2, 4, 5)
+                                ).reshape(n, s // 4, s // 4, 16 * c)
+
+
+def host_letterbox_s2d(imgs: np.ndarray, imgsz: int) -> np.ndarray:
+    """Host letterbox (same geometry as ops/letterbox.py::letterbox_batch:
+    aspect-preserving bilinear resize, 114-gray centered pad) + s2d(4), for
+    feeding a stem_s2d=True model from in-memory frames. Mirrors the
+    reference's HOST preprocessing (ultralytics LetterBox in
+    BasePredictor.preprocess) — resize happens in uint8 like upstream."""
+    import cv2
+
+    n, h, w, c = imgs.shape
+    r = min(imgsz / h, imgsz / w)
+    uh, uw = int(round(h * r)), int(round(w * r))
+    top = int(round((imgsz - uh) / 2 - 0.1))
+    left = int(round((imgsz - uw) / 2 - 0.1))
+    out = np.full((n, imgsz, imgsz, c), 114, np.uint8)
+    for i in range(n):
+        im = imgs[i]
+        if (uh, uw) != (h, w):
+            im = cv2.resize(im, (uw, uh), interpolation=cv2.INTER_LINEAR)
+            if im.ndim == 2:
+                im = im[..., None]
+        out[i, top:top + uh, left:left + uw] = im
+    s2d = s2d4(out)
+    return s2d if s2d is not None else s2d4_np(out)
