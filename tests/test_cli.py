@@ -70,3 +70,55 @@ def test_predict_cli(root, tmp_path):
     with open(os.path.join(out, "detections.json")) as f:
         assert len(json.load(f)) == 4
     assert any(f.endswith("_pred.png") for f in os.listdir(out))
+
+
+def test_val_cli(root, tmp_path):
+    from yolou_tpu.cli.val import main
+    out = str(tmp_path / "val_metrics.json")
+    m = main(["--data", os.path.join(root, "data.yaml"), "--model",
+              "/nonexistent.ckpt", "--imgsz", "96", "--batch", "4",
+              "--rect", "--out", out])
+    assert set(m) >= {"map50", "map", "precision", "recall"}
+    with open(out) as f:
+        assert json.load(f) == m
+
+
+def test_convert_cli(tmp_path):
+    """Fabricate a torch state_dict from a template tree (ultralytics names,
+    torch layouts), convert via the CLI, and load the result back."""
+    import torch
+    from yolou_tpu.cli.convert import main
+    from yolou_tpu.tools.torch2jax import flax_to_torch_name
+    from yolou_tpu.utils.model_io import load_model
+    from .common import cached_init
+
+    _, variables = cached_init("yolov12", "n", task="segment", ch=4, nc=1)
+
+    def _flat(tree, prefix=()):
+        for k, v in tree.items():
+            p = prefix + (k,)
+            if isinstance(v, dict):
+                yield from _flat(v, p)
+            else:
+                yield p, v
+
+    sd = {}
+    for coll in ("params", "batch_stats"):
+        for path, leaf in _flat(variables[coll]):
+            a = np.array(leaf)
+            if a.ndim == 4:
+                a = a.transpose(3, 2, 0, 1)
+            elif a.ndim == 3:
+                a = a.transpose(2, 1, 0)
+            sd[flax_to_torch_name(path, coll)] = torch.from_numpy(a.copy())
+    pt = str(tmp_path / "synthetic.pt")
+    torch.save(sd, pt)
+
+    out = str(tmp_path / "converted.ckpt")
+    # the fabricated state_dict skips the qkv permutation, so convert
+    # leniently is NOT needed — names/layouts all match
+    report = main(["--pt", pt, "--out", out, "--task", "segment",
+                   "--imgsz", "96"])
+    assert report["missing"] == []
+    model, conv = load_model(out)
+    assert model.spec.task == "segment"

@@ -7,6 +7,8 @@ COMMANDS = {
     "train-detector": "yolou_tpu.cli.train_detector",
     "evaluate": "yolou_tpu.cli.evaluate",
     "predict": "yolou_tpu.cli.predict",
+    "val": "yolou_tpu.cli.val",
+    "convert": "yolou_tpu.cli.convert",
     "generate-objectmaps": "yolou_tpu.cli.generate_objectmaps",
     "generate-heatmaps": "yolou_tpu.cli.generate_heatmaps",
     "visualize-logits": "yolou_tpu.cli.visualize_logits",
