@@ -49,7 +49,6 @@ def main(argv=None):
     torch_sd = load_torch_state_dict(args.pt)
 
     if args.kind == "segpp":
-        from .common import build_segpp_from_detector
         from ..models.segpp import YOLOSegPP
         from ..models.yolo import parse_model_spec
 

@@ -20,7 +20,7 @@ names, so checkpoints and the torch converter see identical params.
 from __future__ import annotations
 
 import math
-from typing import Any, List, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
