@@ -106,7 +106,9 @@ def test_convert_cli(tmp_path):
     for coll in ("params", "batch_stats"):
         for path, leaf in _flat(variables[coll]):
             a = np.array(leaf)
-            if a.ndim == 4:
+            if a.ndim == 4 and "upsample" in path:
+                a = a[::-1, ::-1].transpose(2, 3, 0, 1)  # torch convT layout
+            elif a.ndim == 4:
                 a = a.transpose(3, 2, 0, 1)
             elif a.ndim == 3:
                 a = a.transpose(2, 1, 0)

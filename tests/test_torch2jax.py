@@ -21,6 +21,8 @@ def _flat(tree, prefix=()):
 def _torch_layout(flax_arr, path):
     a = np.asarray(flax_arr)
     if a.ndim == 4:
+        if "upsample" in path:           # flax convT (kh,kw,I,O) -> torch
+            return a[::-1, ::-1].transpose(2, 3, 0, 1)  # (I,O,kh,kw), flipped
         return a.transpose(3, 2, 0, 1)   # HWIO -> OIHW
     if a.ndim == 3:
         return a.transpose(2, 1, 0)      # (k,1,1) -> (1,1,k)

@@ -481,3 +481,88 @@ def test_golden_segpp_decoder_full():
                               nhwc(logits), train=False))
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
                                atol=5e-5, rtol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# Segment head golden: Detect cv2/cv3 chains + cv4 + Proto (incl. the
+# square in==out ConvTranspose whose layout is path-disambiguated)
+# --------------------------------------------------------------------------
+
+class TDWConv(TConv):
+    def __init__(self, c1, c2, k=1, s=1, act=True):
+        import math as _m
+        super().__init__(c1, c2, k, s, g=_m.gcd(c1, c2), act=act)
+
+
+class TProto(tnn.Module):
+    def __init__(self, c1, c_=16, c2=8):
+        super().__init__()
+        self.cv1 = TConv(c1, c_, k=3)
+        self.upsample = tnn.ConvTranspose2d(c_, c_, 2, 2, 0, bias=True)
+        self.cv2 = TConv(c_, c_, k=3)
+        self.cv3 = TConv(c_, c2)
+
+    def forward(self, x):
+        return self.cv3(self.cv2(self.upsample(self.cv1(x))))
+
+
+class TSegmentHead(tnn.Module):
+    """ultralytics Segment (Detect base) with literal submodule names."""
+
+    def __init__(self, ch, nc=1, nm=8, npr=16, reg_max=4):
+        super().__init__()
+        self.nc, self.nm, self.reg_max = nc, nm, reg_max
+        c2 = max(16, ch[0] // 4, reg_max * 4)
+        c3 = max(ch[0], min(nc, 100))
+        c4 = max(ch[0] // 4, nm)
+        self.cv2 = tnn.ModuleList(
+            tnn.Sequential(TConv(x, c2, 3), TConv(c2, c2, 3),
+                           tnn.Conv2d(c2, 4 * reg_max, 1)) for x in ch)
+        self.cv3 = tnn.ModuleList(
+            tnn.Sequential(
+                tnn.Sequential(TDWConv(x, x, 3), TConv(x, c3, 1)),
+                tnn.Sequential(TDWConv(c3, c3, 3), TConv(c3, c3, 1)),
+                tnn.Conv2d(c3, nc, 1)) for x in ch)
+        self.cv4 = tnn.ModuleList(
+            tnn.Sequential(TConv(x, c4, 3), TConv(c4, c4, 3),
+                           tnn.Conv2d(c4, nm, 1)) for x in ch)
+        self.proto = TProto(ch[0], npr, nm)
+
+    def forward(self, feats):
+        p = self.proto(feats[0])
+        raw = [torch.cat([self.cv2[i](x), self.cv3[i](x)], 1)
+               for i, x in enumerate(feats)]
+        mc = torch.cat([self.cv4[i](x).flatten(2) for i, x in enumerate(feats)], 2)
+        return raw, mc, p
+
+
+def test_golden_segment_head_full():
+    """Full Segment head (fused eval entry convs) vs literal-named torch:
+    raw maps, mask coefficients, and protos all ≤1e-4."""
+    from yolou_tpu.nn.heads import Segment
+
+    ch = (16, 32, 64)
+    t = _randomize(TSegmentHead(ch))
+    keys = set(_sd(t))
+    assert "cv3.0.0.0.conv.weight" in keys       # DWConv literal name
+    assert "proto.upsample.weight" in keys
+    g = torch.Generator().manual_seed(11)
+    feats_t = [torch.randn(2, c, hw, hw, generator=g)
+               for c, hw in zip(ch, (16, 8, 4))]
+    with torch.no_grad():
+        raw_t, mc_t, p_t = t(feats_t)
+
+    seg = Segment(nc=1, nm=8, npr=16, reg_max=4)
+    feats_j = [jnp.asarray(f.numpy().transpose(0, 2, 3, 1)) for f in feats_t]
+    template = seg.init(jax.random.key(0), feats_j, train=False)
+    variables, report = convert_state_dict(_sd(t), jax.device_get(template),
+                                           strict=True)
+    assert not report["unused"], report["unused"][:8]
+    raw_j, mc_j, p_j = seg.apply(variables, feats_j, train=False)
+    for rt, rj in zip(raw_t, raw_j):
+        np.testing.assert_allclose(np.asarray(rj).transpose(0, 3, 1, 2),
+                                   rt.numpy(), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(mc_j).transpose(0, 2, 1),
+                               mc_t.numpy(), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(p_j).transpose(0, 3, 1, 2),
+                               p_t.numpy(), atol=1e-4, rtol=1e-4)

@@ -90,12 +90,22 @@ def _to_flax_layout(torch_arr: np.ndarray, flax_shape: Tuple[int, ...],
     a = np.asarray(torch_arr)
     if tuple(a.shape) == tuple(flax_shape):
         return a
-    # Conv2d OIHW -> HWIO
     if a.ndim == 4:
+        # ConvTranspose2d (I, O, kh, kw) -> (kh, kw, I, O), SPATIALLY
+        # FLIPPED: torch ConvTranspose2d is the true conv transpose while
+        # flax nn.ConvTranspose (lax.conv_transpose, transpose_kernel=False)
+        # is a fractionally-strided correlation — same op iff the kernel is
+        # flipped. Must be decided by PATH, not by shape fit: a square
+        # in==out deconv (Proto's upsample, c_->c_ 2x2) fits the Conv2d
+        # transpose too — with the axes silently swapped.
+        if "upsample" in path:
+            t = a.transpose(2, 3, 0, 1)[::-1, ::-1]
+            if t.shape == tuple(flax_shape):
+                return np.ascontiguousarray(t)
+        # Conv2d OIHW -> HWIO
         t = a.transpose(2, 3, 1, 0)
         if t.shape == tuple(flax_shape):
             return t
-        # ConvTranspose2d (I, O, kh, kw) -> (kh, kw, I, O)
         t = a.transpose(2, 3, 0, 1)
         if t.shape == tuple(flax_shape):
             return t
