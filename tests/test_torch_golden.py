@@ -566,3 +566,170 @@ def test_golden_segment_head_full():
                                mc_t.numpy(), atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(p_j).transpose(0, 3, 1, 2),
                                p_t.numpy(), atol=1e-4, rtol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# FULL yolov12n-seg model golden: spec-driven torch graph with literal
+# ultralytics names (model.0 .. model.21) vs the flax graph executor
+# --------------------------------------------------------------------------
+
+class TBottleneck(tnn.Module):
+    def __init__(self, c1, c2, shortcut=True, g=1, k=(3, 3), e=0.5):
+        super().__init__()
+        c_ = int(c2 * e)
+        self.cv1 = TConv(c1, c_, k[0], 1)
+        self.cv2 = TConv(c_, c2, k[1], 1, g=g)
+        self.add = shortcut and c1 == c2
+
+    def forward(self, x):
+        y = self.cv2(self.cv1(x))
+        return x + y if self.add else y
+
+
+class TC3(tnn.Module):
+    def __init__(self, c1, c2, n=1, shortcut=True, g=1, e=0.5, k=(1, 3)):
+        super().__init__()
+        c_ = int(c2 * e)
+        self.cv1 = TConv(c1, c_, 1)
+        self.cv2 = TConv(c1, c_, 1)
+        self.cv3 = TConv(2 * c_, c2, 1)
+        self.m = tnn.Sequential(*(TBottleneck(c_, c_, shortcut, g,
+                                              k=(k[0], k[1]), e=1.0)
+                                  for _ in range(n)))
+
+    def forward(self, x):
+        return self.cv3(torch.cat([self.m(self.cv1(x)), self.cv2(x)], 1))
+
+
+class TC3k(TC3):
+    def __init__(self, c1, c2, n=1, shortcut=True, g=1, e=0.5, k=3):
+        super().__init__(c1, c2, n, shortcut, g, e, k=(k, k))
+
+
+class TC3k2(tnn.Module):
+    """ultralytics C3k2 (C2f subclass): cv1 -> chunk(2) -> m -> cv2."""
+
+    def __init__(self, c1, c2, n=1, c3k=False, e=0.5, g=1, shortcut=True):
+        super().__init__()
+        self.c = int(c2 * e)
+        self.cv1 = TConv(c1, 2 * self.c, 1)
+        self.cv2 = TConv((2 + n) * self.c, c2, 1)
+        self.m = tnn.ModuleList(
+            TC3k(self.c, self.c, 2, shortcut, g) if c3k
+            else TBottleneck(self.c, self.c, shortcut, g, k=(3, 3), e=0.5)
+            for _ in range(n))
+
+    def forward(self, x):
+        y = list(self.cv1(x).chunk(2, 1))
+        y.extend(m(y[-1]) for m in self.m)
+        return self.cv2(torch.cat(y, 1))
+
+
+class TA2C2fG(tnn.Module):
+    """A2C2f with the a2 switch (ABlock pairs vs C3k) and optional gamma."""
+
+    def __init__(self, c1, c2, n=1, a2=True, area=1, residual=False, e=0.5):
+        super().__init__()
+        c_ = int(c2 * e)
+        self.cv1 = TConv(c1, c_, 1, 1)
+        self.cv2 = TConv((1 + n) * c_, c2, 1)
+        if a2 and residual:
+            self.gamma = tnn.Parameter(0.01 * torch.ones(c2))
+        self.residual = a2 and residual
+        self.m = tnn.ModuleList(
+            tnn.Sequential(*(TABlock(c_, max(1, c_ // 32), 2.0, area)
+                             for _ in range(2))) if a2
+            else TC3k(c_, c_, 2, True, 1)
+            for _ in range(n))
+
+    def forward(self, x):
+        y = [self.cv1(x)]
+        y.extend(m(y[-1]) for m in self.m)
+        out = self.cv2(torch.cat(y, 1))
+        if self.residual:
+            return x + self.gamma.view(1, -1, 1, 1) * out
+        return out
+
+
+class TYOLOv12Seg(tnn.Module):
+    """Spec-driven torch twin of models/yolo.py's graph executor."""
+
+    def __init__(self, spec, ch_in=4):
+        super().__init__()
+        self.spec = spec
+        mods, ch = [], [ch_in]
+
+        def c_of(j, i):
+            return ch[j + 1] if j >= 0 else ch[i]
+
+        for i, l in enumerate(spec.layers):
+            cin = c_of(l.frm[0], i)
+            if l.block == "Conv":
+                m, out = TConv(cin, l.args[0], l.args[1], l.args[2]), l.args[0]
+            elif l.block == "C3k2":
+                e = l.args[2] if len(l.args) > 2 else 0.5
+                m = TC3k2(cin, l.args[0], n=l.repeats, c3k=l.args[1], e=e)
+                out = l.args[0]
+            elif l.block == "A2C2f":
+                area = l.args[2] if len(l.args) > 2 and isinstance(
+                    l.args[2], int) and l.args[2] > 0 else 1
+                m = TA2C2fG(cin, l.args[0], n=l.repeats, a2=l.args[1],
+                            area=area)
+                out = l.args[0]
+            elif l.block == "Upsample":
+                m, out = tnn.Upsample(scale_factor=2, mode="nearest"), cin
+            elif l.block == "Concat":
+                m, out = tnn.Identity(), sum(c_of(j, i) for j in l.frm)
+            elif l.block == "HEAD":
+                m = TSegmentHead(tuple(c_of(j, i) for j in l.frm),
+                                 nc=spec.nc, nm=spec.nm, npr=spec.npr,
+                                 reg_max=spec.reg_max)
+                out = 0
+            else:  # pragma: no cover
+                raise ValueError(l.block)
+            mods.append(m)
+            ch.append(out)
+        self.model = tnn.ModuleList(mods)
+
+    def forward(self, x):
+        ys = []
+        for i, l in enumerate(self.spec.layers):
+            get = lambda j: ys[j] if j != -1 else (ys[-1] if ys else x)
+            if l.block == "Concat":
+                y = torch.cat([get(j) for j in l.frm], 1)
+            elif l.block == "HEAD":
+                return self.model[i]([get(j) for j in l.frm])
+            else:
+                y = self.model[i](get(l.frm[0]))
+            ys.append(y)
+
+
+def test_golden_full_yolov12n_seg_model():
+    """Whole-graph forward vs torch: raw maps, mask coefs, protos."""
+    from yolou_tpu.models.yolo import build_yolo
+
+    jmod = build_yolo("yolov12", "n", nc=1, ch=4, task="segment")
+    t = _randomize(TYOLOv12Seg(jmod.spec, ch_in=4))
+    keys = set(_sd(t))
+    assert "model.6.m.0.0.attn.qkv.conv.weight" in keys
+    assert "model.21.proto.upsample.weight" in keys
+
+    x = torch.randn(2, 4, 64, 64, generator=torch.Generator().manual_seed(5))
+    with torch.no_grad():
+        raw_t, mc_t, p_t = t(x)
+
+    template = jmod.init(jax.random.key(0),
+                         jnp.zeros((2, 64, 64, 4)), train=False)
+    variables, report = convert_state_dict(_sd(t), jax.device_get(template),
+                                           strict=True)
+    assert not report["unused"], report["unused"][:8]
+    out = jmod.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+                     train=False)
+    # measured max|d| = 4e-7 f32 across the whole 22-layer graph
+    for rt, rj in zip(raw_t, out.raw):
+        np.testing.assert_allclose(np.asarray(rj).transpose(0, 3, 1, 2),
+                                   rt.numpy(), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.mask_coefs).transpose(0, 2, 1),
+                               mc_t.numpy(), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.protos).transpose(0, 3, 1, 2),
+                               p_t.numpy(), atol=1e-5, rtol=1e-4)
