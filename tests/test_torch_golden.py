@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 import torch
 import torch.nn as tnn
 
@@ -733,3 +734,179 @@ def test_golden_full_yolov12n_seg_model():
                                mc_t.numpy(), atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(out.protos).transpose(0, 3, 1, 2),
                                p_t.numpy(), atol=1e-5, rtol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# v8 / v11 family goldens: C2f, SPPF, C2PSA + detect head through the same
+# spec-driven torch builder
+# --------------------------------------------------------------------------
+
+class TC2f(tnn.Module):
+    def __init__(self, c1, c2, n=1, shortcut=False, g=1, e=0.5):
+        super().__init__()
+        self.c = int(c2 * e)
+        self.cv1 = TConv(c1, 2 * self.c, 1)
+        self.cv2 = TConv((2 + n) * self.c, c2, 1)
+        self.m = tnn.ModuleList(
+            TBottleneck(self.c, self.c, shortcut, g, k=(3, 3), e=1.0)
+            for _ in range(n))
+
+    def forward(self, x):
+        y = list(self.cv1(x).chunk(2, 1))
+        y.extend(m(y[-1]) for m in self.m)
+        return self.cv2(torch.cat(y, 1))
+
+
+class TSPPF(tnn.Module):
+    def __init__(self, c1, c2, k=5):
+        super().__init__()
+        c_ = c1 // 2
+        self.cv1 = TConv(c1, c_, 1)
+        self.cv2 = TConv(c_ * 4, c2, 1)
+        self.m = tnn.MaxPool2d(k, 1, k // 2)
+
+    def forward(self, x):
+        y = [self.cv1(x)]
+        y.extend(self.m(y[-1]) for _ in range(3))
+        return self.cv2(torch.cat(y, 1))
+
+
+class TPSAAttention(tnn.Module):
+    """ultralytics PSA Attention (head-major qkv, dw3x3 pe)."""
+
+    def __init__(self, dim, num_heads=8, attn_ratio=0.5):
+        super().__init__()
+        self.num_heads = num_heads
+        self.head_dim = dim // num_heads
+        self.key_dim = int(self.head_dim * attn_ratio)
+        h = dim + self.key_dim * num_heads * 2
+        self.qkv = TConv(dim, h, 1, act=False)
+        self.proj = TConv(dim, dim, 1, act=False)
+        self.pe = TConv(dim, dim, 3, 1, g=dim, act=False)
+
+    def forward(self, x):
+        B, C, H, W = x.shape
+        N = H * W
+        q, k, v = self.qkv(x).view(
+            B, self.num_heads, self.key_dim * 2 + self.head_dim, N).split(
+            [self.key_dim, self.key_dim, self.head_dim], dim=2)
+        attn = (q.transpose(-2, -1) @ k) * (self.key_dim ** -0.5)
+        attn = attn.softmax(dim=-1)
+        o = (v @ attn.transpose(-2, -1)).view(B, C, H, W)
+        return self.proj(o + self.pe(v.reshape(B, C, H, W)))
+
+
+class TPSABlock(tnn.Module):
+    def __init__(self, c, num_heads, attn_ratio=0.5):
+        super().__init__()
+        self.attn = TPSAAttention(c, num_heads, attn_ratio)
+        self.ffn = tnn.Sequential(TConv(c, c * 2, 1),
+                                  TConv(c * 2, c, 1, act=False))
+
+    def forward(self, x):
+        x = x + self.attn(x)
+        return x + self.ffn(x)
+
+
+class TC2PSA(tnn.Module):
+    def __init__(self, c1, c2, n=1, e=0.5):
+        super().__init__()
+        self.c = int(c2 * e)
+        self.cv1 = TConv(c1, 2 * self.c, 1)
+        self.cv2 = TConv(2 * self.c, c2, 1)
+        self.m = tnn.Sequential(*(TPSABlock(self.c, max(1, self.c // 64))
+                                  for _ in range(n)))
+
+    def forward(self, x):
+        a, b = self.cv1(x).split((self.c, self.c), 1)
+        return self.cv2(torch.cat([a, self.m(b)], 1))
+
+
+class TDetectHead(tnn.Module):
+    """v12-style Detect (DWConv cv3 chains) — the head this framework builds
+    for every family."""
+
+    def __init__(self, ch, nc=1, reg_max=4):
+        super().__init__()
+        self.nc, self.reg_max = nc, reg_max
+        c2 = max(16, ch[0] // 4, reg_max * 4)
+        c3 = max(ch[0], min(nc, 100))
+        self.cv2 = tnn.ModuleList(
+            tnn.Sequential(TConv(x, c2, 3), TConv(c2, c2, 3),
+                           tnn.Conv2d(c2, 4 * reg_max, 1)) for x in ch)
+        self.cv3 = tnn.ModuleList(
+            tnn.Sequential(
+                tnn.Sequential(TDWConv(x, x, 3), TConv(x, c3, 1)),
+                tnn.Sequential(TDWConv(c3, c3, 3), TConv(c3, c3, 1)),
+                tnn.Conv2d(c3, nc, 1)) for x in ch)
+
+    def forward(self, feats):
+        return [torch.cat([self.cv2[i](x), self.cv3[i](x)], 1)
+                for i, x in enumerate(feats)], None, None
+
+
+class TYOLOGraph(TYOLOv12Seg):
+    """Extends the spec-driven builder to the v8/v11 block set."""
+
+    def __init__(self, spec, ch_in=3):
+        tnn.Module.__init__(self)
+        self.spec = spec
+        mods, ch = [], [ch_in]
+
+        def c_of(j, i):
+            return ch[j + 1] if j >= 0 else ch[i]
+
+        for i, l in enumerate(spec.layers):
+            cin = c_of(l.frm[0], i)
+            out = l.args[0] if l.args else cin
+            if l.block == "Conv":
+                m = TConv(cin, l.args[0], l.args[1], l.args[2])
+            elif l.block == "C3k2":
+                e = l.args[2] if len(l.args) > 2 else 0.5
+                m = TC3k2(cin, l.args[0], n=l.repeats, c3k=l.args[1], e=e)
+            elif l.block == "C2f":
+                sc = l.args[1] if len(l.args) > 1 else False
+                m = TC2f(cin, l.args[0], n=l.repeats, shortcut=sc)
+            elif l.block == "SPPF":
+                m = TSPPF(cin, l.args[0], l.args[1])
+            elif l.block == "C2PSA":
+                m = TC2PSA(cin, l.args[0], n=l.repeats)
+            elif l.block == "A2C2f":
+                area = l.args[2] if len(l.args) > 2 and isinstance(
+                    l.args[2], int) and l.args[2] > 0 else 1
+                m = TA2C2fG(cin, l.args[0], n=l.repeats, a2=l.args[1],
+                            area=area)
+            elif l.block == "Upsample":
+                m, out = tnn.Upsample(scale_factor=2, mode="nearest"), cin
+            elif l.block == "Concat":
+                m, out = tnn.Identity(), sum(c_of(j, i) for j in l.frm)
+            elif l.block == "HEAD":
+                m = TDetectHead(tuple(c_of(j, i) for j in l.frm),
+                                nc=spec.nc, reg_max=spec.reg_max)
+                out = 0
+            else:  # pragma: no cover
+                raise ValueError(l.block)
+            mods.append(m)
+            ch.append(out)
+        self.model = tnn.ModuleList(mods)
+
+
+@pytest.mark.parametrize("arch", ["yolov8", "yolo11"])
+def test_golden_full_family_detect_model(arch):
+    from yolou_tpu.models.yolo import build_yolo
+
+    jmod = build_yolo(arch, "n", nc=1, ch=3, task="detect")
+    t = _randomize(TYOLOGraph(jmod.spec, ch_in=3))
+    x = torch.randn(1, 3, 64, 64, generator=torch.Generator().manual_seed(6))
+    with torch.no_grad():
+        raw_t, _, _ = t(x)
+    template = jmod.init(jax.random.key(0),
+                         jnp.zeros((1, 64, 64, 3)), train=False)
+    variables, report = convert_state_dict(_sd(t), jax.device_get(template),
+                                           strict=True)
+    assert not report["unused"], report["unused"][:8]
+    out = jmod.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+                     train=False)
+    for rt, rj in zip(raw_t, out.raw):
+        np.testing.assert_allclose(np.asarray(rj).transpose(0, 3, 1, 2),
+                                   rt.numpy(), atol=1e-5, rtol=1e-4)

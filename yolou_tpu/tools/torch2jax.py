@@ -49,6 +49,7 @@ def _module_segment(seg: str) -> Optional[str]:
         return f"m.{m.group(1)}"
     table = {
         "mlp1": "mlp.0", "mlp2": "mlp.1",
+        "ffn1": "ffn.0", "ffn2": "ffn.1",   # PSABlock ffn Sequential
         # ultralytics GhostBottleneck.conv is always a 3-slot Sequential:
         # conv.0 = GhostConv, conv.1 = DWConv (s=2) or nn.Identity (s=1),
         # conv.2 = GhostConv — so ghost2 lives at conv.2 in BOTH cases.
