@@ -175,21 +175,20 @@ void resize_nearest(const Image& src, int oh, int ow, int oc, uint8_t* dst) {
   }
 }
 
-// Decode one file and write it (stretch- or letterbox-resized) into an NHWC
-// slot of the batch buffer.
-int load_one(const char* path, int imgsz, int channels, int letterbox,
-             int nearest, uint8_t* slot) {
-  std::vector<uint8_t> buf;
-  if (read_file(path, &buf) != 0) return -10;
-  Image img;
-  int rc = decode_png(buf.data(), buf.size(), &img);
-  if (rc != 0) return rc;
+// Write a decoded image (stretch- or letterbox-resized) into an NHWC slot.
+void place_image(const Image& img, int imgsz, int channels, int letterbox,
+                 int nearest, uint8_t* slot) {
   if (!letterbox) {
     if (nearest)
       resize_nearest(img, imgsz, imgsz, channels, slot);
     else
       resize_bilinear(img, imgsz, imgsz, channels, slot);
-    return 0;
+    return;
+  }
+  if (img.h == imgsz && img.w == imgsz && img.c == channels) {
+    // already model-sized: plain copy
+    memcpy(slot, img.data.data(), size_t(imgsz) * imgsz * channels);
+    return;
   }
   const float r = std::min(float(imgsz) / img.h, float(imgsz) / img.w);
   const int uh = int(img.h * r + 0.5f), uw = int(img.w * r + 0.5f);
@@ -202,6 +201,18 @@ int load_one(const char* path, int imgsz, int channels, int letterbox,
     memcpy(slot + ((size_t(top) + y) * imgsz + left) * channels,
            tmp.data() + size_t(y) * uw * channels, size_t(uw) * channels);
   }
+}
+
+// Decode one file and write it (stretch- or letterbox-resized) into an NHWC
+// slot of the batch buffer.
+int load_one(const char* path, int imgsz, int channels, int letterbox,
+             int nearest, uint8_t* slot) {
+  std::vector<uint8_t> buf;
+  if (read_file(path, &buf) != 0) return -10;
+  Image img;
+  int rc = decode_png(buf.data(), buf.size(), &img);
+  if (rc != 0) return rc;
+  place_image(img, imgsz, channels, letterbox, nearest, slot);
   return 0;
 }
 
@@ -217,10 +228,22 @@ void s2d4(const uint8_t* src, int imgsz, int channels, uint8_t* dst) {
       const uint8_t* srow = src + (size_t(oy) * 4 + iy) * row;
       uint8_t* drow = dst + (size_t(oy) * ob) * (16 * channels)
                       + iy * 4 * channels;
-      for (int ox = 0; ox < ob; ++ox) {
-        // 4 consecutive source pixels (ix=0..3) are contiguous: one memcpy
-        memcpy(drow + size_t(ox) * 16 * channels,
-               srow + size_t(ox) * 4 * channels, 4 * channels);
+      if (channels == 4) {
+        // common case (BraTS stacks): 4 px x 4 ch = 16 contiguous bytes per
+        // copy — two unaligned u64 moves beat a memcpy call per pixel group
+        for (int ox = 0; ox < ob; ++ox) {
+          uint64_t a, b;
+          memcpy(&a, srow + size_t(ox) * 16, 8);
+          memcpy(&b, srow + size_t(ox) * 16 + 8, 8);
+          memcpy(drow + size_t(ox) * 64, &a, 8);
+          memcpy(drow + size_t(ox) * 64 + 8, &b, 8);
+        }
+      } else {
+        for (int ox = 0; ox < ob; ++ox) {
+          // 4 consecutive source pixels (ix=0..3) are contiguous
+          memcpy(drow + size_t(ox) * 16 * channels,
+                 srow + size_t(ox) * 4 * channels, 4 * channels);
+        }
       }
     }
   }
@@ -304,6 +327,38 @@ int yio_load_batch_s2d(const char** paths, int n, int imgsz, int channels,
   for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
   for (auto& t : threads) t.join();
   return failures.load() == 0 ? 0 : -1;
+}
+
+// Threaded in-memory preprocess: letterbox (aspect-preserving, 114 pad) n
+// uniform (h, w, c) uint8 images to imgsz and optionally emit each slot in
+// space-to-depth(4) layout — the predictor's stem_s2d host path for sources
+// that are already decoded (ndarray/PIL/video/stream frames).
+int yio_letterbox_s2d_batch(const uint8_t* in, int n, int h, int w, int c,
+                            int imgsz, int s2d, int nthreads, uint8_t* out) {
+  const size_t in_size = size_t(h) * w * c;
+  const size_t slot_size = size_t(imgsz) * imgsz * c;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    std::vector<uint8_t> stage(s2d ? slot_size : 0);
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      Image img;
+      img.data.assign(in + in_size * i, in + in_size * (i + 1));
+      img.h = h;
+      img.w = w;
+      img.c = c;
+      uint8_t* slot = s2d ? stage.data() : out + slot_size * i;
+      place_image(img, imgsz, c, /*letterbox=*/1, /*nearest=*/0, slot);
+      if (s2d) s2d4(stage.data(), imgsz, c, out + slot_size * i);
+    }
+  };
+  int nt = nthreads > 0 ? nthreads : int(std::thread::hardware_concurrency());
+  if (nt > n) nt = n > 0 ? n : 1;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return 0;
 }
 
 void yio_free(void* p) { free(p); }
