@@ -72,3 +72,42 @@ def test_native_s2d_layout(pngs):
     ref = a.reshape(len(paths), 40, 4, 40, 4, 4)
     ref = ref.transpose(0, 1, 3, 2, 4, 5).reshape(len(paths), 40, 40, 64)
     np.testing.assert_array_equal(b, ref)
+
+
+def test_native_letterbox_s2d_batch():
+    """In-memory threaded letterbox+s2d: identity path byte-exact; resize
+    path within 1 LSB of the cv2 letterbox reference."""
+    if not loader.available():
+        pytest.skip("native library unavailable")
+    import ctypes
+
+    import cv2
+
+    lib = loader.get_lib()
+    if not hasattr(lib, "yio_letterbox_s2d_batch"):
+        pytest.skip("old library build")
+    rng = np.random.default_rng(3)
+    # identity: model-sized input
+    im = rng.integers(0, 255, (2, 96, 96, 4), dtype=np.uint8)
+    out = np.empty((2, 24, 24, 64), np.uint8)
+    lib.yio_letterbox_s2d_batch(
+        im.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 2, 96, 96, 4,
+        96, 1, 0, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    np.testing.assert_array_equal(out, loader.s2d4_np(im))
+    # aspect letterbox 100x60 -> 128
+    im2 = np.ascontiguousarray(
+        rng.integers(0, 255, (2, 100, 60, 4), dtype=np.uint8))
+    out2 = np.empty((2, 32, 32, 64), np.uint8)
+    lib.yio_letterbox_s2d_batch(
+        im2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 2, 100, 60, 4,
+        128, 1, 0, out2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    r = min(128 / 100, 128 / 60)
+    uh, uw = int(round(100 * r)), int(round(60 * r))
+    top = int(round((128 - uh) / 2 - 0.1))
+    left = int(round((128 - uw) / 2 - 0.1))
+    ref = np.full((2, 128, 128, 4), 114, np.uint8)
+    for i in range(2):
+        ref[i, top:top + uh, left:left + uw] = cv2.resize(
+            im2[i], (uw, uh), interpolation=cv2.INTER_LINEAR)
+    ref = loader.s2d4_np(ref)
+    assert np.abs(out2.astype(int) - ref.astype(int)).max() <= 1

@@ -309,6 +309,24 @@ class Predictor:
         for idx, (_, img) in enumerate(items):
             buckets.setdefault(tuple(img.shape[:2]), []).append(idx)
         results: List[Optional[Results]] = [None] * len(items)
+
+        def drain(pending):
+            sel, n_real, dets, masks, pre_scaled = pending
+            dets_np = jax.device_get(dets)
+            masks_np = np.asarray(masks) if masks is not None else None
+            for i in range(n_real):
+                path, orig = items[sel[i]]
+                results[sel[i]] = self._build_result(
+                    path, orig, dets_np.boxes[i], dets_np.conf[i],
+                    dets_np.cls[i], dets_np.valid[i],
+                    masks_np[i] if masks_np is not None else None,
+                    pre_scaled=pre_scaled)
+
+        # Software pipeline: jax dispatch is async, so by deferring the
+        # device_get of chunk i until chunk i+1 has been preprocessed and
+        # dispatched, host preprocessing/result building overlaps device
+        # compute — one chunk in flight.
+        pending = None
         for idxs in buckets.values():
             for start in range(0, len(idxs), self.batch_size):
                 sel = idxs[start:start + self.batch_size]
@@ -327,15 +345,11 @@ class Predictor:
                 else:
                     dets, masks, _ = self._infer(self.variables,
                                                  jnp.asarray(imgs))
-                dets_np = jax.device_get(dets)
-                masks_np = np.asarray(masks) if masks is not None else None
-                for i in range(n_real):
-                    path, orig = items[sel[i]]
-                    results[sel[i]] = self._build_result(
-                        path, orig, dets_np.boxes[i], dets_np.conf[i],
-                        dets_np.cls[i], dets_np.valid[i],
-                        masks_np[i] if masks_np is not None else None,
-                        pre_scaled=pre_scaled)
+                if pending is not None:
+                    drain(pending)
+                pending = (sel, n_real, dets, masks, pre_scaled)
+        if pending is not None:
+            drain(pending)
         return results
 
     def _build_result(self, path, orig, boxes, conf, cls, valid, masks,
