@@ -124,3 +124,31 @@ def test_convert_cli(tmp_path):
     assert report["missing"] == []
     model, conv = load_model(out)
     assert model.spec.task == "segment"
+
+
+def test_export_cli_roundtrip(root, tmp_path):
+    """Export the fused pipeline to StableHLO, reload, and check the
+    exported program reproduces the live predictor's outputs."""
+    import jax
+    import jax.numpy as jnp
+    from yolou_tpu.cli.export import main
+    from yolou_tpu.engine.exporter import ExportedModel, build_inference_fn
+    from .common import cached_init
+
+    out = str(tmp_path / "exported")
+    main(["--model", "/nonexistent.ckpt", "--out", out, "--imgsz", "96",
+          "--batch", "2", "--platforms", "cpu"])
+    ex = ExportedModel(out)
+    assert ex.meta["task"] == "segment" and ex.meta["batch"] == 2
+
+    rng = np.random.default_rng(4)
+    imgs = rng.integers(0, 255, (2, 96, 96, 4), dtype=np.uint8)
+    got = ex(imgs)
+
+    # live reference on the same weights
+    model, _ = cached_init("yolov12", "n", task="segment", ch=4, nc=1)
+    fn = build_inference_fn(model, imgsz=96)
+    want = jax.jit(fn)(ex.variables, jnp.asarray(imgs))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-5, rtol=1e-4)

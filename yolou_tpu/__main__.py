@@ -9,6 +9,7 @@ COMMANDS = {
     "predict": "yolou_tpu.cli.predict",
     "val": "yolou_tpu.cli.val",
     "convert": "yolou_tpu.cli.convert",
+    "export": "yolou_tpu.cli.export",
     "generate-objectmaps": "yolou_tpu.cli.generate_objectmaps",
     "generate-heatmaps": "yolou_tpu.cli.generate_heatmaps",
     "visualize-logits": "yolou_tpu.cli.visualize_logits",
