@@ -239,3 +239,17 @@ def test_rect_groups():
     assert sum(len(g) for g in groups) == 6
     ars = [shapes[i][0] / shapes[i][1] for g in groups for i in g]
     assert ars == sorted(ars)
+
+
+def test_family_segment_heads_build():
+    """v8/v11 graphs also build and run with the Segment task head."""
+    import jax
+    import jax.numpy as jnp
+    from yolou_tpu.models.yolo import build_yolo
+
+    for arch in ("yolov8", "yolo11"):
+        m = build_yolo(arch, "n", nc=2, ch=3, task="segment")
+        v = m.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False)
+        out = m.apply(v, jnp.zeros((1, 64, 64, 3)), train=False)
+        assert out.protos is not None and out.mask_coefs is not None
+        assert out.preds.shape[-1] == 4 + 2 + m.spec.nm
