@@ -152,3 +152,19 @@ def test_export_cli_roundtrip(root, tmp_path):
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_export_cli_segpp(tmp_path):
+    from yolou_tpu.cli.export import main
+    from yolou_tpu.engine.exporter import ExportedModel
+
+    out = str(tmp_path / "exported_segpp")
+    meta = main(["--model", "/nonexistent.ckpt", "--kind", "segpp",
+                 "--out", out, "--imgsz", "96", "--batch", "1",
+                 "--platforms", "cpu"])
+    assert meta["kind"] == "segpp"
+    ex = ExportedModel(out)
+    imgs = np.random.default_rng(5).integers(
+        0, 255, (1, 96, 96, 4), dtype=np.uint8)
+    mask, boxes, conf, valid = ex(imgs)
+    assert mask.shape == (1, 96, 96, 1) and set(np.unique(mask)) <= {0, 1}

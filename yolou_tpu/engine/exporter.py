@@ -92,6 +92,50 @@ def export_model(model, variables, out_dir: str, *, imgsz: int = 640,
     return meta
 
 
+def export_segpp(model, variables, out_dir: str, *, imgsz: int = 160,
+                 batch: int = 1, channels: int = 4,
+                 platforms: Sequence[str] = ("cpu", "tpu"),
+                 conf: float = 0.25, iou: float = 0.45,
+                 max_det: int = 300) -> Dict:
+    """Export the fused YOLO-Seg++ e2e program: one backbone pass ->
+    detector NMS + binary whole-tumor mask (the evaluate_model.py product)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from ..ops.nms import non_max_suppression
+    from ..utils.checkpoint import save_checkpoint
+
+    def fn(variables, imgs_u8):
+        x = imgs_u8.astype(jnp.float32) / 255.0
+        mask_logits, out = model.apply(variables, x, train=False)
+        dets = non_max_suppression(out.preds.astype(jnp.float32),
+                                   conf_thres=conf, iou_thres=iou,
+                                   max_det=max_det, nc=model.spec.nc)
+        mask = (jax.nn.sigmoid(mask_logits) > 0.5).astype(jnp.uint8)
+        return mask, dets.boxes, dets.conf, dets.valid
+
+    in_shape = (batch, imgsz, imgsz, channels)
+    var_shapes = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        jax.device_get(variables))
+    exp = jexport.export(jax.jit(fn), platforms=list(platforms))(
+        var_shapes, jax.ShapeDtypeStruct(in_shape, jnp.uint8))
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "program.stablehlo"), "wb") as f:
+        f.write(exp.serialize())
+    save_checkpoint(os.path.join(out_dir, "weights.msgpack"),
+                    {"variables": jax.device_get(variables)})
+    meta = {"kind": "segpp", "task": "segment-e2e", "imgsz": imgsz,
+            "batch": batch, "channels": channels, "platforms": list(platforms),
+            "conf": conf, "iou": iou, "max_det": max_det,
+            "input_shape": list(in_shape),
+            "outputs": ["mask", "boxes", "conf", "valid"]}
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    return meta
+
+
 class ExportedModel:
     """Load and run an exported artifact directory."""
 
