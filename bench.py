@@ -10,15 +10,31 @@ repo targets "near-native CPU inference"; its ultralytics/torch stack is not
 installable here, so the CPU proxy is the same math on the same host class).
 vs_baseline = tpu_ips / (5 * cpu_ips)  -> >= 1.0 means the target is met.
 
+Outage-proofing (the round-2 TPU tunnel died mid-round and the old bench
+crashed at jax.devices()): the TPU phase runs in a SUBPROCESS behind a socket
+preflight and a hard timeout, the CPU proxy is forced onto the CPU platform,
+and the last-good TPU numbers are persisted in BENCH_DETAILS.json
+("last_good_tpu") so a snapshot taken during an outage still carries evidence
+— the one-line JSON is then emitted from last-good with "tpu_unavailable":
+true instead of a traceback.
+
 Details (p50 NMS+decode latency, batch sweep, cpu baseline) go to
 BENCH_DETAILS.json.
 """
 
 import json
 import os
+import socket
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+DETAILS_PATH = os.path.join(REPO, "BENCH_DETAILS.json")
+AXON_ADDR = ("127.0.0.1", 8083)  # the experimental axon TPU tunnel
+TPU_PHASE_TIMEOUT_S = int(os.environ.get("YOLOU_BENCH_TPU_TIMEOUT", "3000"))
 
 
 def _build(backend_device, dtype_name="bfloat16", batch=16, imgsz=640):
@@ -97,7 +113,7 @@ def _throughput(fn, variables, imgs, iters, warmup=3):
     return imgs.shape[0] / per_call, per_call
 
 
-def main():
+def _enable_compile_cache():
     import jax
 
     try:  # persistent compile cache: repeat runs skip the ~60s compiles
@@ -106,23 +122,34 @@ def main():
     except Exception:
         pass
 
+
+def _tpu_phase(out_path):
+    """Measure everything that needs the accelerator. Runs in a subprocess so
+    a hung tunnel (remote_compile stalls, backend-init retry loops) cannot
+    take the whole bench down — the parent enforces a wall-clock timeout."""
+    import jax
+
+    _enable_compile_cache()
     details = {}
     accel = [d for d in jax.devices() if d.platform != "cpu"]
-    cpu = jax.devices("cpu")[0] if accel else jax.devices()[0]
-    tpu = accel[0] if accel else jax.devices()[0]
+    if not accel:
+        raise RuntimeError("no accelerator device")
+    tpu = accel[0]
+    details["tpu_platform"] = str(tpu.platform)
 
-    # --- TPU (or default device) throughput, batch sweep
+    # --- TPU throughput, batch sweep
     best_ips, best_batch = 0.0, 0
     for batch in (64, 128, 256):
         try:
             fn, v, imgs = _build(tpu, "bfloat16", batch)
-            ips, step_t = _throughput(fn, v, imgs, iters=max(4, int(512 / batch)))
+            ips, _ = _throughput(fn, v, imgs, iters=max(4, int(512 / batch)))
             details[f"tpu_ips_b{batch}"] = ips
             if ips > best_ips:
                 best_ips, best_batch = ips, batch
         except Exception as e:  # keep the bench robust on odd hosts
             details[f"tpu_b{batch}_error"] = str(e)[:200]
     details["tpu_best_batch"] = best_batch
+    details["tpu_ips_best"] = best_ips
 
     # --- p50 end-to-end latency (batch 1, includes host round-trip)
     try:
@@ -169,11 +196,56 @@ def main():
     except Exception as e:
         details["nms_latency_error"] = str(e)[:200]
 
-    # --- CPU reference proxy (float32, small batch). The divisor of the
-    # headline vs_baseline number: measure 10 independent single-batch times
-    # and report median + spread, not one noisy 3-iter slope.
-    cpu_ips = None
+    with open(out_path, "w") as f:
+        json.dump(details, f)
+
+
+def _tunnel_reachable(timeout=3.0):
     try:
+        with socket.create_connection(AXON_ADDR, timeout=timeout):
+            return True
+    except OSError:
+        return False
+
+
+def _run_tpu_phase_subprocess():
+    """Returns the TPU details dict, or None with a reason string."""
+    if not _tunnel_reachable():
+        return None, "tunnel_unreachable (connection refused on 8083)"
+    out_path = os.path.join("/tmp", f"yolou_bench_tpu_{os.getpid()}.json")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--tpu-phase",
+             out_path],
+            timeout=TPU_PHASE_TIMEOUT_S, capture_output=True, text=True)
+        if proc.returncode != 0:
+            return None, ("tpu_phase rc=%d: %s"
+                          % (proc.returncode, proc.stderr[-300:]))
+        with open(out_path) as f:
+            return json.load(f), None
+    except subprocess.TimeoutExpired:
+        return None, "tpu_phase timed out after %ds" % TPU_PHASE_TIMEOUT_S
+    except Exception as e:
+        return None, str(e)[:300]
+    finally:
+        try:
+            os.remove(out_path)
+        except OSError:
+            pass
+
+
+def _cpu_phase(details):
+    """CPU reference proxy (float32, small batch) — the divisor of the
+    headline vs_baseline number: 10 independent single-batch times,
+    median + spread. Forced onto the CPU platform so a dead tunnel cannot
+    break it (JAX_PLATFORMS env is ignored under axon; the config update
+    is the working override)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    _enable_compile_cache()
+    try:
+        cpu = jax.devices("cpu")[0]
         fnc, vc, imgc = _build(cpu, "float32", 4)
         times = []
         fnc(vc, imgc)[0].block_until_ready()          # compile + warm
@@ -188,22 +260,82 @@ def main():
             "median": float(np.median(times)), "min": float(times.min()),
             "max": float(times.max()), "std": float(times.std()),
             "iters": len(times)}
+        return cpu_ips
     except Exception as e:
         details["cpu_error"] = str(e)[:200]
+        return None
 
-    vs_baseline = (best_ips / (5.0 * cpu_ips)) if (cpu_ips and best_ips) else 0.0
+
+def _git_head():
+    try:
+        return subprocess.run(["git", "-C", REPO, "rev-parse", "--short",
+                               "HEAD"], capture_output=True, text=True,
+                              timeout=10).stdout.strip() or None
+    except Exception:
+        return None
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--tpu-phase":
+        _tpu_phase(sys.argv[2])
+        return
+
+    prior = {}
+    try:
+        with open(DETAILS_PATH) as f:
+            prior = json.load(f)
+    except Exception:
+        pass
+    # last-good TPU numbers: the explicit block if present, else salvage the
+    # tpu_* keys of the prior details file (pre-upgrade format).
+    last_good = prior.get("last_good_tpu")
+    if not last_good and "tpu_ips_b128" in prior:
+        last_good = {k: v for k, v in prior.items() if k.startswith("tpu_")
+                     or k.startswith("p50_")}
+        best = max(v for k, v in prior.items()
+                   if k.startswith("tpu_ips_b") and isinstance(v, float))
+        last_good["tpu_ips_best"] = best
+
+    details = {}
+    tpu_details, tpu_fail = _run_tpu_phase_subprocess()
+    if tpu_details is not None:
+        details.update(tpu_details)
+        lg = dict(tpu_details)
+        lg["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        lg["commit"] = _git_head()
+        last_good = lg
+    else:
+        details["tpu_unavailable"] = True
+        details["tpu_unavailable_reason"] = tpu_fail
+
+    cpu_ips = _cpu_phase(details)
+
+    best_ips = details.get("tpu_ips_best") or 0.0
+    reported = best_ips
+    if not reported and last_good:
+        reported = last_good.get("tpu_ips_best") or 0.0
+    vs_baseline = (reported / (5.0 * cpu_ips)) if (cpu_ips and reported) else 0.0
     details["baseline_definition"] = "5x CPU-proxy images/sec (north star)"
+    if last_good:
+        details["last_good_tpu"] = last_good
 
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAILS.json"), "w") as f:
+    with open(DETAILS_PATH, "w") as f:
         json.dump(details, f, indent=2)
 
-    print(json.dumps({
+    line = {
         "metric": "images_per_sec_per_chip_640px_4ch_infer_nms",
-        "value": round(best_ips, 2),
+        "value": round(reported, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 3),
-    }))
+    }
+    if tpu_details is None:
+        line["tpu_unavailable"] = True
+        if last_good:
+            line["stale_from"] = {"measured_at": last_good.get("measured_at"),
+                                  "commit": last_good.get("commit"),
+                                  "note": "last-good TPU measurement; tunnel "
+                                          "down at bench time"}
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
