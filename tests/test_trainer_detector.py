@@ -145,3 +145,23 @@ def test_mesh_vs_single_device_step_equivalence(root):
         # sharded all-reduce order vs single-device reduction: pure FP noise
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-3, atol=5e-5)
+
+
+def test_epoch_index_batches_keeps_remainder():
+    """VERDICT r2 weak #6: a 65-image dataset at batch 16 must train on all
+    65 images per epoch (reference DataLoader keeps the partial batch); the
+    tail batch is wrap-filled to keep the jitted shape static."""
+    from yolou_tpu.engine.trainer_detector import epoch_index_batches
+
+    idx = np.random.default_rng(0).permutation(65)
+    batches = list(epoch_index_batches(idx, 16))
+    assert len(batches) == 5                       # ceil(65/16)
+    assert all(len(b) == 16 for b in batches)      # static shape
+    seen = np.concatenate(batches)
+    assert set(seen.tolist()) == set(range(65))    # every image trains
+    # wrap-fill comes from the same permutation's head
+    assert batches[-1][1:].tolist() == idx[:15].tolist()
+
+    # divisible case: unchanged behavior, no padding
+    batches = list(epoch_index_batches(idx[:64], 16))
+    assert len(batches) == 4 and np.concatenate(batches).shape[0] == 64

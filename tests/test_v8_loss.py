@@ -209,3 +209,47 @@ def test_detect_only_mode(rng):
     out = v8_loss(raw, None, None, t, nc=NC, strides=STRIDES, with_masks=False)
     assert float(out.parts["seg"]) == 0.0
     assert np.isfinite(float(out.total))
+
+
+def test_seg_budget_follows_tal_topk(rng):
+    """Raising the assigner's topk must raise the mask-term positive budget
+    with it (VERDICT r2 weak #7: the budget hardcoded topk=10, so tal_topk=16
+    silently dropped positives past G*10). Two half-image GTs at topk=16
+    yield up to 32 positives; the old G*10=20 budget would truncate them."""
+    boxes = [(0.0, 0.0, 32.0, 64.0), (32.0, 0.0, 64.0, 64.0)]
+    raw = make_raw(rng, good_box=boxes)
+    coefs = jnp.asarray(rng.normal(size=(2, A, 8)), jnp.float32)
+    protos = jnp.asarray(rng.normal(size=(2, 16, 16, 8)), jnp.float32)
+    g, hm, wm = 2, 16, 16
+    bboxes = np.zeros((2, g, 4), np.float32)
+    cls = np.zeros((2, g), np.int32)
+    valid = np.ones((2, g), bool)
+    masks = np.zeros((2, g, hm, wm), np.float32)
+    for i, (x1, y1, x2, y2) in enumerate(boxes):
+        bboxes[:, i] = [(x1 + x2) / 2 / IMG, (y1 + y2) / 2 / IMG,
+                        (x2 - x1) / IMG, (y2 - y1) / IMG]
+        masks[:, i, int(y1 * hm / IMG):int(y2 * hm / IMG),
+              int(x1 * wm / IMG):int(x2 * wm / IMG)] = 1.0
+    t = {"bboxes": jnp.asarray(bboxes), "cls": jnp.asarray(cls),
+         "valid": jnp.asarray(valid), "masks": jnp.asarray(masks)}
+
+    # sanity: the scenario really produces more positives than G*10
+    from yolou_tpu.ops.boxes import dfl_decode, dist2bbox
+    pred_distri, pred_scores = raw[0].reshape(2, -1, 4 * REG_MAX + NC), None
+    anchors, stride_t = make_anchors(SHAPES, STRIDES, 0.5)
+    flat = jnp.concatenate([r.reshape(2, -1, r.shape[-1]) for r in raw], 1)
+    dist = dfl_decode(flat[..., :4 * REG_MAX], REG_MAX)
+    pb = dist2bbox(dist, anchors[None], xywh=False) * stride_t[None]
+    res = task_aligned_assign(
+        jax.nn.sigmoid(flat[..., 4 * REG_MAX:]), pb, anchors * stride_t,
+        t["cls"], jnp.asarray([[list(b) for b in boxes]] * 2, jnp.float32),
+        t["valid"], topk=16)
+    n_fg = int(np.asarray(res.fg_mask).sum(axis=1).max())
+    assert n_fg > g * 10, f"scenario too weak: {n_fg} fg anchors"
+
+    out_default = v8_loss(raw, coefs, protos, t, nc=NC, strides=STRIDES,
+                          tal_topk=16)
+    out_uncapped = v8_loss(raw, coefs, protos, t, nc=NC, strides=STRIDES,
+                           tal_topk=16, max_pos=A)
+    np.testing.assert_allclose(float(out_default.parts["seg"]),
+                               float(out_uncapped.parts["seg"]), rtol=1e-6)

@@ -131,6 +131,20 @@ def make_detector_tx(cfg: "DetectorTrainConfig", steps_per_epoch: int):
     return tx, lr_main, lr_bias, mom_fn
 
 
+def epoch_index_batches(idx: np.ndarray, batch_size: int):
+    """Split a permutation into fixed-size batches, wrap-filling the tail.
+
+    jit needs a static batch shape, so the remainder is wrap-filled from the
+    same permutation instead of dropped (the reference DataLoader keeps the
+    partial batch; here every image is still seen each epoch, with a few
+    repeated in the final step — PARITY.md §2.4.10)."""
+    for s in range(0, len(idx), batch_size):
+        sel = idx[s:s + batch_size]
+        if len(sel) < batch_size:
+            sel = np.concatenate([sel, np.resize(idx, batch_size - len(sel))])
+        yield sel
+
+
 class DetTrainState(NamedTuple):
     params: Any
     batch_stats: Any
@@ -233,7 +247,9 @@ class DetectorTrainer:
         ds = YoloSegDataset(img_dir, imgsz=cfg.imgsz,
                             channels=self.data_cfg.channels,
                             cache_images=True)
-        steps_per_epoch = max(1, len(ds) // cfg.batch_size)
+        # ceil: the wrap-filled remainder batch is a real step
+        steps_per_epoch = max(
+            1, (len(ds) + cfg.batch_size - 1) // cfg.batch_size)
         self.ensure_ready(steps_per_epoch)
 
         run_dir = os.path.join(cfg.run_dir, time.strftime("%Y_%m_%d_%H_%M_%S"))
@@ -261,8 +277,8 @@ class DetectorTrainer:
 
             def batch_iter():
                 idx = np.random.default_rng(cfg.seed + epoch).permutation(len(ds))
-                for s in range(0, len(idx) - cfg.batch_size + 1, cfg.batch_size):
-                    items = [ds.item(int(j)) for j in idx[s:s + cfg.batch_size]]
+                for sel in epoch_index_batches(idx, cfg.batch_size):
+                    items = [ds.item(int(j)) for j in sel]
                     yield collate_idmap(items, cfg.max_instances)
 
             for cb in prefetch(batch_iter()):

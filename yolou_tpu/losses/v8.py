@@ -65,7 +65,7 @@ def _df_loss(pred_distri: jax.Array, target: jax.Array, reg_max: int) -> jax.Arr
 
 
 @partial(jax.jit, static_argnames=("nc", "reg_max", "strides", "hyp", "max_pos",
-                                   "with_masks"))
+                                   "with_masks", "tal_topk"))
 def v8_loss(
     raw: Tuple[jax.Array, ...],
     mask_coefs,                  # (B, A, nm) or None
@@ -78,6 +78,7 @@ def v8_loss(
     hyp: LossHyp = LossHyp(),
     max_pos: int | None = None,
     with_masks: bool = True,
+    tal_topk: int = 10,
 ) -> LossOutputs:
     """targets: cls (B,G) int, bboxes (B,G,4) xywh normalized [0,1],
     valid (B,G) bool, masks (B,G,Hm,Wm) float instance masks at proto
@@ -112,6 +113,7 @@ def v8_loss(
         jax.lax.stop_gradient(pred_bboxes) * stride_t[None],
         anchors * stride_t,
         targets["cls"].astype(jnp.int32), gt_xyxy, valid,
+        topk=tal_topk,
     )
     target_scores_sum = jnp.maximum(assign.target_scores.sum(), 1.0)
     fg = assign.fg_mask.astype(jnp.float32)                            # (B,A)
@@ -133,8 +135,10 @@ def v8_loss(
     if with_masks and mask_coefs is not None:
         hm, wm = protos.shape[1], protos.shape[2]
         # static top-max_pos positive anchors per image; TAL assigns at most
-        # topk=10 anchors per GT, so G*10 covers every possible positive.
-        budget = targets["valid"].shape[1] * 10
+        # tal_topk anchors per GT, so G*tal_topk covers every possible
+        # positive (derived from the assigner's actual topk — a raised topk
+        # must not silently reintroduce under-coverage).
+        budget = targets["valid"].shape[1] * tal_topk
         kpos = min(max_pos if max_pos is not None else budget, fg.shape[1])
         pos_score, pos_idx = jax.lax.top_k(
             fg * (1.0 + jax.lax.stop_gradient(weight)), kpos)          # (B,K)
