@@ -510,7 +510,7 @@ class TProto(tnn.Module):
 class TSegmentHead(tnn.Module):
     """ultralytics Segment (Detect base) with literal submodule names."""
 
-    def __init__(self, ch, nc=1, nm=8, npr=16, reg_max=4):
+    def __init__(self, ch, nc=1, nm=8, npr=16, reg_max=4, legacy=False):
         super().__init__()
         self.nc, self.nm, self.reg_max = nc, nm, reg_max
         c2 = max(16, ch[0] // 4, reg_max * 4)
@@ -519,11 +519,16 @@ class TSegmentHead(tnn.Module):
         self.cv2 = tnn.ModuleList(
             tnn.Sequential(TConv(x, c2, 3), TConv(c2, c2, 3),
                            tnn.Conv2d(c2, 4 * reg_max, 1)) for x in ch)
-        self.cv3 = tnn.ModuleList(
-            tnn.Sequential(
-                tnn.Sequential(TDWConv(x, x, 3), TConv(x, c3, 1)),
-                tnn.Sequential(TDWConv(c3, c3, 3), TConv(c3, c3, 1)),
-                tnn.Conv2d(c3, nc, 1)) for x in ch)
+        if legacy:
+            self.cv3 = tnn.ModuleList(
+                tnn.Sequential(TConv(x, c3, 3), TConv(c3, c3, 3),
+                               tnn.Conv2d(c3, nc, 1)) for x in ch)
+        else:
+            self.cv3 = tnn.ModuleList(
+                tnn.Sequential(
+                    tnn.Sequential(TDWConv(x, x, 3), TConv(x, c3, 1)),
+                    tnn.Sequential(TDWConv(c3, c3, 3), TConv(c3, c3, 1)),
+                    tnn.Conv2d(c3, nc, 1)) for x in ch)
         self.cv4 = tnn.ModuleList(
             tnn.Sequential(TConv(x, c4, 3), TConv(c4, c4, 3),
                            tnn.Conv2d(c4, nm, 1)) for x in ch)
@@ -823,10 +828,10 @@ class TC2PSA(tnn.Module):
 
 
 class TDetectHead(tnn.Module):
-    """v12-style Detect (DWConv cv3 chains) — the head this framework builds
-    for every family."""
+    """ultralytics Detect with literal names: legacy=True is the v8-family
+    plain-Conv class branch, legacy=False the v11/v12 DWConv pairs."""
 
-    def __init__(self, ch, nc=1, reg_max=4):
+    def __init__(self, ch, nc=1, reg_max=4, legacy=False):
         super().__init__()
         self.nc, self.reg_max = nc, reg_max
         c2 = max(16, ch[0] // 4, reg_max * 4)
@@ -834,11 +839,16 @@ class TDetectHead(tnn.Module):
         self.cv2 = tnn.ModuleList(
             tnn.Sequential(TConv(x, c2, 3), TConv(c2, c2, 3),
                            tnn.Conv2d(c2, 4 * reg_max, 1)) for x in ch)
-        self.cv3 = tnn.ModuleList(
-            tnn.Sequential(
-                tnn.Sequential(TDWConv(x, x, 3), TConv(x, c3, 1)),
-                tnn.Sequential(TDWConv(c3, c3, 3), TConv(c3, c3, 1)),
-                tnn.Conv2d(c3, nc, 1)) for x in ch)
+        if legacy:
+            self.cv3 = tnn.ModuleList(
+                tnn.Sequential(TConv(x, c3, 3), TConv(c3, c3, 3),
+                               tnn.Conv2d(c3, nc, 1)) for x in ch)
+        else:
+            self.cv3 = tnn.ModuleList(
+                tnn.Sequential(
+                    tnn.Sequential(TDWConv(x, x, 3), TConv(x, c3, 1)),
+                    tnn.Sequential(TDWConv(c3, c3, 3), TConv(c3, c3, 1)),
+                    tnn.Conv2d(c3, nc, 1)) for x in ch)
 
     def forward(self, feats):
         return [torch.cat([self.cv2[i](x), self.cv3[i](x)], 1)
@@ -881,8 +891,14 @@ class TYOLOGraph(TYOLOv12Seg):
             elif l.block == "Concat":
                 m, out = tnn.Identity(), sum(c_of(j, i) for j in l.frm)
             elif l.block == "HEAD":
-                m = TDetectHead(tuple(c_of(j, i) for j in l.frm),
-                                nc=spec.nc, reg_max=spec.reg_max)
+                hch = tuple(c_of(j, i) for j in l.frm)
+                if spec.task == "segment":
+                    m = TSegmentHead(hch, nc=spec.nc, nm=spec.nm,
+                                     npr=spec.npr, reg_max=spec.reg_max,
+                                     legacy=spec.legacy_head)
+                else:
+                    m = TDetectHead(hch, nc=spec.nc, reg_max=spec.reg_max,
+                                    legacy=spec.legacy_head)
                 out = 0
             else:  # pragma: no cover
                 raise ValueError(l.block)

@@ -63,6 +63,9 @@ class ModelSpec:
     nm: int = 32
     npr: int = 64
     reg_max: int = 16
+    # ultralytics Detect.legacy: True for the v8 family's plain-Conv class
+    # branch, False for v11/v12's DWConv pairs (see nn/heads.py).
+    legacy_head: bool = False
 
 
 def parse_model_spec(arch: str = "yolov12", variant: str = "n", nc: int = 1,
@@ -115,6 +118,7 @@ def parse_model_spec(arch: str = "yolov12", variant: str = "n", nc: int = 1,
     return ModelSpec(
         layers=tuple(layers), channels=tuple(channels), head_from=head_from,
         strides=strides, nc=nc, task=task, npr=npr,
+        legacy_head=(arch == "yolov8"),
     )
 
 
@@ -231,10 +235,12 @@ class YOLOModel(nn.Module):
                 if spec.task == "segment":
                     raw, mc, protos = Segment(
                         spec.nc, spec.nm, spec.npr, spec.reg_max,
-                        dtype=self.dtype, name=f"model_{i}")(feats, train)
+                        dtype=self.dtype, legacy=spec.legacy_head,
+                        name=f"model_{i}")(feats, train)
                     head_out = (tuple(raw), mc, protos)
                 else:
                     raw = Detect(spec.nc, spec.reg_max, dtype=self.dtype,
+                                 legacy=spec.legacy_head,
                                  name=f"model_{i}")(feats, train)
                     head_out = (tuple(raw), None, None)
                 y = feats[0]  # placeholder; head is terminal

@@ -66,6 +66,10 @@ class Detect(nn.Module):
     nc: int = 80
     reg_max: int = 16
     dtype: Dtype = jnp.float32
+    # ultralytics Detect.legacy: v3/v5/v8/v9 use a plain Conv3x3 stack for the
+    # class branch; v10/v11/v12 use the DWConv+1x1 pairs. Released yolov8*-seg
+    # checkpoints only convert with legacy=True.
+    legacy: bool = False
 
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array], train: bool = False,
@@ -85,10 +89,14 @@ class Detect(nn.Module):
             b = ConvBNAct(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(b, train)
             b = nn.Conv(4 * self.reg_max, (1, 1), use_bias=True, dtype=self.dtype,
                         param_dtype=jnp.float32, name=f"cv2_{i}_2")(b)
-            c = DWConv(x.shape[-1], 3, dtype=self.dtype, name=f"cv3_{i}_0_0")(x, train)
-            c = ConvBNAct(c3, 1, dtype=self.dtype, name=f"cv3_{i}_0_1")(c, train)
-            c = DWConv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1_0")(c, train)
-            c = ConvBNAct(c3, 1, dtype=self.dtype, name=f"cv3_{i}_1_1")(c, train)
+            if self.legacy:
+                c = ConvBNAct(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
+                c = ConvBNAct(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(c, train)
+            else:
+                c = DWConv(x.shape[-1], 3, dtype=self.dtype, name=f"cv3_{i}_0_0")(x, train)
+                c = ConvBNAct(c3, 1, dtype=self.dtype, name=f"cv3_{i}_0_1")(c, train)
+                c = DWConv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1_0")(c, train)
+                c = ConvBNAct(c3, 1, dtype=self.dtype, name=f"cv3_{i}_1_1")(c, train)
             c = nn.Conv(self.nc, (1, 1), use_bias=True, dtype=self.dtype,
                         param_dtype=jnp.float32, name=f"cv3_{i}_2")(c)
             outs.append(jnp.concatenate([b, c], axis=-1))
@@ -109,12 +117,14 @@ class Segment(nn.Module):
     reg_max: int = 16
     dtype: Dtype = jnp.float32
     fuse_entry: bool = True   # batch shared-input entry convs at eval
+    legacy: bool = False      # see Detect.legacy
 
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array], train: bool = False):
         c4 = max(feats[0].shape[-1] // 4, self.nm)
         proto = Proto(self.npr, self.nm, dtype=self.dtype, name="proto")
-        detect = Detect(self.nc, self.reg_max, dtype=self.dtype, name="detect")
+        detect = Detect(self.nc, self.reg_max, dtype=self.dtype,
+                        legacy=self.legacy, name="detect")
 
         if train or not self.fuse_entry:
             protos = proto(feats[0], train)
