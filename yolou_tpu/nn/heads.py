@@ -27,27 +27,50 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.boxes import dfl_decode, dist2bbox, make_anchors
-from .blocks import ConvBNAct, DWConv, FoldedConvBN, Proto
+from .blocks import ConvBNAct, ConvParams, DWConv, FoldedConvBN, Proto
 
 Dtype = Any
 
 
-def _fused_conv3x3(x, parts, dtype):
+def _fused_conv3x3(x, parts, dtype, act=True):
     """One 3x3 conv for several folded (w, b) siblings sharing input `x`;
-    returns the SiLU'd output split back per sibling."""
+    returns the (SiLU'd) CONCATENATED output — callers slice lazily so XLA
+    can fuse the slices into consumers instead of materializing copies."""
     w = jnp.concatenate([p[0] for p in parts], axis=-1).astype(dtype)
     b = jnp.concatenate([p[1] for p in parts], axis=-1)
     y = jax.lax.conv_general_dilated(
         x.astype(dtype), w, (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32) + b[None, None, None]
-    y = nn.silu(y).astype(dtype)
-    sizes = [p[0].shape[-1] for p in parts]
-    outs, off = [], 0
-    for s in sizes:
-        outs.append(y[..., off:off + s])
-        off += s
-    return outs
+    if act:
+        y = nn.silu(y)
+    return y.astype(dtype)
+
+
+def _blockdiag_conv(x, parts, k, dtype, act=True):
+    """Sibling convs whose inputs are CONSECUTIVE channel blocks of `x`
+    (each part = (w, b) with w (k,k,ci,oi)), run as ONE conv with a
+    block-diagonal kernel — exact math, one read of `x` instead of one per
+    sibling, and a single well-shaped MXU contraction (the small per-branch
+    K dims of 32/64 under-fill the 128-lane MXU tiles anyway)."""
+    cin = sum(p[0].shape[-2] for p in parts)
+    cout = sum(p[0].shape[-1] for p in parts)
+    w = jnp.zeros((k, k, cin, cout), jnp.float32)
+    ri = co = 0
+    for pw, _ in parts:
+        w = jax.lax.dynamic_update_slice(w, pw.astype(jnp.float32),
+                                         (0, 0, ri, co))
+        ri += pw.shape[-2]
+        co += pw.shape[-1]
+    b = jnp.concatenate([p[1] for p in parts], axis=-1)
+    pad = k // 2
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), w.astype(dtype), (1, 1), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32) + b[None, None, None]
+    if act:
+        y = nn.silu(y)
+    return y.astype(dtype)
 
 
 class Detect(nn.Module):
@@ -57,10 +80,12 @@ class Detect(nn.Module):
     branch (2x [DWConv3x3 + Conv1x1] -> 1x1 conv to nc). Returns raw NHWC maps.
 
     `phase`: "full" — staged path (training / standalone detect task);
-    "entry" — declare + return the folded (w, b) of each level's cv2_i_0 so
-    the caller can batch them into a shared entry conv; "rest" — consume the
-    precomputed cv2_i_0 outputs (`first`) and run the remaining chain.
-    Both fused phases declare the exact variable tree of the staged path.
+    "box_folds" — declare + return the folded (w, b) of the ENTIRE box branch
+    per level (cv2_i_0 entry, cv2_i_1 mid, cv2_i_2 final) so the caller can
+    batch each stage with its own same-input siblings (Segment's cv4 chain);
+    "cls_with_box" — consume precomputed final box maps (`first`) and run
+    only the class branch. Both fused phases declare the exact variable tree
+    of the staged path.
     """
 
     nc: int = 80
@@ -77,18 +102,23 @@ class Detect(nn.Module):
         ch = tuple(f.shape[-1] for f in feats)
         c2 = max(16, ch[0] // 4, self.reg_max * 4)
         c3 = max(ch[0], min(self.nc, 100))
-        if phase == "entry":
-            return [FoldedConvBN(ch[i], c2, 3, name=f"cv2_{i}_0")()
-                    for i in range(len(feats))]
+        if phase == "box_folds":
+            return [{
+                "entry": FoldedConvBN(ch[i], c2, 3, name=f"cv2_{i}_0")(),
+                "mid": FoldedConvBN(c2, c2, 3, name=f"cv2_{i}_1")(),
+                "fin": ConvParams((1, 1, c2, 4 * self.reg_max),
+                                  name=f"cv2_{i}_2")(),
+            } for i in range(len(feats))]
         outs = []
         for i, x in enumerate(feats):
-            if phase == "rest":
+            if phase == "cls_with_box":
                 b = first[i]
             else:
                 b = ConvBNAct(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
-            b = ConvBNAct(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(b, train)
-            b = nn.Conv(4 * self.reg_max, (1, 1), use_bias=True, dtype=self.dtype,
-                        param_dtype=jnp.float32, name=f"cv2_{i}_2")(b)
+                b = ConvBNAct(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(b, train)
+                b = nn.Conv(4 * self.reg_max, (1, 1), use_bias=True,
+                            dtype=self.dtype, param_dtype=jnp.float32,
+                            name=f"cv2_{i}_2")(b)
             if self.legacy:
                 c = ConvBNAct(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
                 c = ConvBNAct(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(c, train)
@@ -139,27 +169,39 @@ class Segment(nn.Module):
             mc = jnp.concatenate(coefs, axis=1)
             return raw, mc, protos
 
-        # --- eval: shared-input entry convs batched per level ---
-        det_entry = detect(feats, train, phase="entry")
+        # --- eval: whole box+coef branches batched per level ---
+        # Per level the cv2 (box) and cv4 (mask-coef) chains are three
+        # same-shape stages reading the same tensors: entry 3x3s share the
+        # level feature (with Proto.cv1 at P3), the mid 3x3s share the entry
+        # output, the final 1x1s share the mid output. Each stage runs as ONE
+        # conv (concat siblings at the entry; block-diagonal kernels after),
+        # so every intermediate is read once instead of once per branch and
+        # the 32/64-channel K dims fill one MXU tile instead of under-filling
+        # two. Exact math; variable tree identical to the staged path.
+        c2 = max(16, feats[0].shape[-1] // 4, self.reg_max * 4)
+        det_folds = detect(feats, train, phase="box_folds")
         proto_entry = proto(feats[0], train, phase="entry")
-        det_first, coefs = [], []
+        box_outs, coefs = [], []
         proto_first = None
         for i, x in enumerate(feats):
-            parts = [det_entry[i],
-                     FoldedConvBN(x.shape[-1], c4, 3, name=f"cv4_{i}_0")()]
+            cv4_0 = FoldedConvBN(x.shape[-1], c4, 3, name=f"cv4_{i}_0")()
+            cv4_1 = FoldedConvBN(c4, c4, 3, name=f"cv4_{i}_1")()
+            cv4_2 = ConvParams((1, 1, c4, self.nm), name=f"cv4_{i}_2")()
+            parts = [det_folds[i]["entry"], cv4_0]
             if i == 0:
                 parts.append(proto_entry)
-            outs = _fused_conv3x3(x, parts, self.dtype)
-            det_first.append(outs[0])
-            m = outs[1]
+            y0 = _fused_conv3x3(x, parts, self.dtype)     # [c2 | c4 | (npr)]
             if i == 0:
-                proto_first = outs[2]
-            m = ConvBNAct(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(m, train)
-            m = nn.Conv(self.nm, (1, 1), use_bias=True, dtype=self.dtype,
-                        param_dtype=jnp.float32, name=f"cv4_{i}_2")(m)
+                proto_first = y0[..., c2 + c4:]
+            y1 = _blockdiag_conv(y0[..., :c2 + c4],
+                                 [det_folds[i]["mid"], cv4_1], 3, self.dtype)
+            y2 = _blockdiag_conv(y1, [det_folds[i]["fin"], cv4_2], 1,
+                                 self.dtype, act=False)
+            box_outs.append(y2[..., :4 * self.reg_max])
+            m = y2[..., 4 * self.reg_max:]
             coefs.append(m.reshape(m.shape[0], -1, self.nm))
         protos = proto(feats[0], train, first=proto_first)
-        raw = detect(feats, train, phase="rest", first=det_first)
+        raw = detect(feats, train, phase="cls_with_box", first=box_outs)
         mc = jnp.concatenate(coefs, axis=1)
         return raw, mc, protos
 
