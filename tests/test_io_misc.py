@@ -253,3 +253,19 @@ def test_family_segment_heads_build():
         out = m.apply(v, jnp.zeros((1, 64, 64, 3)), train=False)
         assert out.protos is not None and out.mask_coefs is not None
         assert out.preds.shape[-1] == 4 + 2 + m.spec.nm
+
+
+def test_pava_nondecreasing():
+    """Isotonic fit used by the profiler: non-decreasing output, preserves
+    already-monotone input, pools violators to the L2-optimal plateau."""
+    from yolou_tpu.tools.profile_layers import pava_nondecreasing
+
+    assert pava_nondecreasing([1.0, 2.0, 3.0]) == [1.0, 2.0, 3.0]
+    fit = pava_nondecreasing([1.0, 3.0, 2.0, 4.0])
+    assert fit == [1.0, 2.5, 2.5, 4.0]
+    fit = pava_nondecreasing([5.0, 1.0])
+    assert fit == [3.0, 3.0]
+    ys = [0.0, 2.0, 1.9, 2.1, 5.0, 4.8, 7.0]
+    fit = pava_nondecreasing(ys)
+    assert all(b >= a - 1e-12 for a, b in zip(fit, fit[1:]))
+    assert abs(sum(fit) - sum(ys)) < 1e-9  # PAVA preserves the mean

@@ -23,11 +23,14 @@ from typing import Callable, Optional
 import numpy as np
 
 
-def slope_time(fn: Callable, args, *, min_work_ms: float = 20.0,
-               probes: int = 3) -> float:
-    """Per-call seconds via t(1+n) - t(1) over chained dispatches, each run
-    ending in a scalar host transfer (cannot complete early through the
-    tunnel). n is chosen so the aggregate exceeds min_work_ms."""
+def make_runner(fn: Callable, args, *, min_work_ms: float = 20.0):
+    """Compile + calibrate a slope-timing runner for `fn`.
+
+    Returns (sample, n): `sample()` takes ONE slope measurement
+    (t(1+n) - t(1)) / n over chained dispatches, each run ending in a scalar
+    host transfer (cannot complete early through the tunnel); n is fixed at
+    calibration so the aggregate exceeds min_work_ms and repeated samples are
+    comparable."""
     import jax
     import jax.numpy as jnp
 
@@ -44,17 +47,59 @@ def slope_time(fn: Callable, args, *, min_work_ms: float = 20.0,
 
     run(1)  # compile + warm
     t1 = min(run(1) for _ in range(3))
-    # estimate n from a quick probe
     probe = max(run(4) - t1, 1e-5) / 3
     n = max(4, int(min_work_ms / 1e3 / probe) + 1)
     n = min(n, 200)
-    samples = [(run(1 + n) - t1) / n for _ in range(probes)]
-    return float(np.median(samples))
+
+    def sample():
+        base = min(run(1) for _ in range(2))
+        return (run(1 + n) - base) / n
+
+    return sample, n
+
+
+def slope_time(fn: Callable, args, *, min_work_ms: float = 20.0,
+               probes: int = 3) -> float:
+    """Median of `probes` slope samples (see make_runner)."""
+    sample, _ = make_runner(fn, args, min_work_ms=min_work_ms)
+    return float(np.median([sample() for _ in range(probes)]))
+
+
+def pava_nondecreasing(y):
+    """L2 isotonic regression (pool adjacent violators): smallest change to
+    `y` making it non-decreasing. Cumulative prefix times are physically
+    non-decreasing in layer count, so fitting them isotonically removes the
+    differencing noise that produced negative per-layer entries."""
+    blocks = [[v, 1.0] for v in y]
+    out = []
+    for b in blocks:
+        out.append(b)
+        while len(out) > 1 and out[-2][0] > out[-1][0]:
+            v2, w2 = out.pop()
+            v1, w1 = out.pop()
+            out.append([(v1 * w1 + v2 * w2) / (w1 + w2), w1 + w2])
+    fit = []
+    for v, w in out:
+        fit.extend([v] * int(round(w)))
+    return fit
 
 
 def profile_prefixes(batch: int = 128, imgsz: int = 640, use_pallas: bool = True,
                      dtype_name: str = "bfloat16",
-                     layers: Optional[list] = None) -> dict:
+                     layers: Optional[list] = None, rounds: int = 6) -> dict:
+    """Per-layer times from prefix differencing, noise-hardened (VERDICT r2
+    weak #4 — 7/22 entries came out negative under one-shot consecutive
+    differencing):
+
+      * every prefix is compiled+calibrated FIRST, then sampled in `rounds`
+        interleaved sweeps (prefix 1..N per round) so slow drift — tunnel
+        load, thermal — hits neighboring prefixes equally rather than
+        accumulating between their measurements;
+      * the per-prefix median over rounds is fit with isotonic regression
+        (cumulative device time cannot decrease with more layers), which is
+        exactly the minimal correction that removes negative entries;
+      * run-to-run spread is reported from odd/even-round half-tables.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -70,34 +115,52 @@ def profile_prefixes(batch: int = 128, imgsz: int = 640, use_pallas: bool = True
 
     n_layers = len(model.spec.layers)
     sel = layers if layers else list(range(1, n_layers + 1))
-    sel = sorted(set(sel) | {0})
+    sel = sorted(set(sel))
 
-    times = {}
+    runners = {}
     for i in sel:
-        if i == 0:
-            times[0] = 0.0
-            continue
-
         def prefix(v, x, i=i):
             return model.apply(v, x, train=False, stop_at=i,
                                taps=(i - 1,)) if i < n_layers else \
                    model.apply(v, x, train=False)
 
-        f = jax.jit(prefix)
-        t = slope_time(f, (variables, x))
-        times[i] = t * 1e3
-        print(f"prefix[:{i:2d}] {model.spec.layers[i-1].block:<9} "
-              f"{times[i]:8.3f} ms  (+{times[i] - times.get(i-1, 0.0):7.3f})",
-              flush=True)
+        runners[i] = make_runner(jax.jit(prefix), (variables, x))[0]
+        print(f"compiled+calibrated prefix[:{i}]", flush=True)
+
+    samples = {i: [] for i in sel}
+    for r in range(rounds):
+        for i in sel:
+            samples[i].append(runners[i]())
+        print(f"round {r + 1}/{rounds} done", flush=True)
+
+    def table(rsel):
+        t = {0: 0.0}
+        for i in sel:
+            t[i] = float(np.median([samples[i][r] for r in rsel])) * 1e3
+        keys = sorted(t)
+        fit = pava_nondecreasing([t[k] for k in keys])
+        return dict(zip(keys, fit))
+
+    times = table(range(rounds))
+    half_a = table(range(0, rounds, 2))
+    half_b = table(range(1, rounds, 2))
 
     rows = []
     keys = sorted(times)
     for a, b in zip(keys[:-1], keys[1:]):
         name = "+".join(model.spec.layers[j].block for j in range(a, b))
+        d = times[b] - times[a]
+        spread = abs((half_a[b] - half_a[a]) - (half_b[b] - half_b[a]))
         rows.append({"layers": f"{a}..{b-1}", "block": name,
-                     "ms": round(times[b] - times[a], 3)})
+                     "ms": round(d, 3), "half_spread_ms": round(spread, 3)})
+        print(f"layers {a:2d}..{b-1:2d} {name:<12} {d:8.3f} ms "
+              f"(±{spread:.3f})", flush=True)
+    total = times[keys[-1]]
+    spread_total = abs(half_a[keys[-1]] - half_b[keys[-1]])
     out = {"batch": batch, "imgsz": imgsz, "dtype": dtype_name,
-           "use_pallas": use_pallas, "total_ms": round(times[keys[-1]], 3),
+           "use_pallas": use_pallas, "rounds": rounds,
+           "total_ms": round(total, 3),
+           "total_half_spread_ms": round(spread_total, 3),
            "per_layer": rows}
     return out
 
