@@ -47,3 +47,25 @@ def test_fused_matches_staged_eval(feats):
     np.testing.assert_allclose(pr_f, pr_s, atol=5e-5)
     for a, b in zip(raw_f, raw_s):
         np.testing.assert_allclose(a, b, atol=5e-5)
+
+
+@pytest.mark.parametrize("legacy", [False, True])
+def test_cls_entry_fold_matches_staged(feats, legacy):
+    """fuse_cls_entry rides the class branch's entry conv (DW expanded to a
+    diagonal dense block / legacy plain conv) on the shared entry conv —
+    must equal the staged path with an identical variable tree."""
+    fused = Segment(nc=1, nm=32, npr=64, fuse_entry=True,
+                    fuse_cls_entry=True, legacy=legacy)
+    staged = Segment(nc=1, nm=32, npr=64, fuse_entry=False, legacy=legacy)
+    v_f = fused.init(jax.random.key(0), feats, train=False)
+    v_s = staged.init(jax.random.key(0), feats, train=False)
+    assert _shapes(v_f) == _shapes(v_s)
+    v = jax.tree_util.tree_map(
+        lambda x: x + 0.05 * np.random.default_rng(4).standard_normal(
+            x.shape).astype(x.dtype), v_s)
+    raw_f, mc_f, pr_f = fused.apply(v, feats, train=False)
+    raw_s, mc_s, pr_s = staged.apply(v, feats, train=False)
+    np.testing.assert_allclose(mc_f, mc_s, atol=5e-5)
+    np.testing.assert_allclose(pr_f, pr_s, atol=5e-5)
+    for a, b in zip(raw_f, raw_s):
+        np.testing.assert_allclose(a, b, atol=5e-5)

@@ -33,14 +33,16 @@ def main():
              jnp.asarray(rng.normal(0, 0.5, (128, 40, 40, 128)).astype(np.float32)).astype(dt),
              jnp.asarray(rng.normal(0, 0.5, (128, 20, 20, 256)).astype(np.float32)).astype(dt)]
     small = [f[:2] for f in feats]
-    for fuse in (False, True):
-        seg = Segment(nc=1, nm=32, npr=64, dtype=dt, fuse_entry=fuse)
+    for fuse, fuse_cls in ((False, False), (True, False), (True, True)):
+        seg = Segment(nc=1, nm=32, npr=64, dtype=dt, fuse_entry=fuse,
+                      fuse_cls_entry=fuse_cls)
         v = jax.jit(lambda k, f: seg.init(k, f, train=False))(
             jax.random.key(0), small)
-        print(f"init done fuse={fuse}", flush=True)
+        print(f"init done fuse={fuse} cls={fuse_cls}", flush=True)
         f = jax.jit(lambda v, f: seg.apply(v, f, train=False))
         ms = slope(f, (v, feats)) * 1e3
-        print(f"Segment head b128 fuse_entry={fuse}: {ms:.3f} ms", flush=True)
+        print(f"Segment head b128 fuse_entry={fuse} "
+              f"fuse_cls_entry={fuse_cls}: {ms:.3f} ms", flush=True)
 
 
 if __name__ == "__main__":

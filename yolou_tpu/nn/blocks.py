@@ -198,6 +198,20 @@ class FoldedConvBN(nn.Module):
         return kern * inv, bias - mean * inv
 
 
+class FoldedDWConvBN(nn.Module):
+    """FoldedConvBN mirror of DWConv's variable tree (dw/conv + dw/bn with
+    the grouped (k,k,1,c2) kernel): returns the BN-folded depthwise (W', b')
+    so eval paths can expand it to a diagonal dense block inside a fused
+    entry conv."""
+
+    c2: int
+    k: int = 3
+
+    @nn.compact
+    def __call__(self):
+        return FoldedConvBN(1, self.c2, self.k, name="dw")()
+
+
 class ConvParams(nn.Module):
     """Bare biased-conv params with nn.Conv's names/inits (kernel + bias)."""
 

@@ -27,7 +27,19 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.boxes import dfl_decode, dist2bbox, make_anchors
-from .blocks import ConvBNAct, ConvParams, DWConv, FoldedConvBN, Proto
+from .blocks import (ConvBNAct, ConvParams, DWConv, FoldedConvBN,
+                     FoldedDWConvBN, Proto)
+
+
+def _dw_to_dense(w, b):
+    """Expand a folded depthwise kernel (k,k,1,c) to the equivalent dense
+    (k,k,c,c) diagonal block so it can ride a fused entry conv. Exact math:
+    dense[ky,kx,i,o] = δ(i,o) * dw[ky,kx,0,o]."""
+    k1, k2, _, c = w.shape
+    idx = jnp.arange(c)
+    dense = jnp.zeros((k1, k2, c, c), w.dtype).at[:, :, idx, idx].set(
+        w[:, :, 0, :])
+    return dense, b
 
 Dtype = Any
 
@@ -98,17 +110,32 @@ class Detect(nn.Module):
 
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array], train: bool = False,
-                 phase: str = "full", first: Optional[Sequence[jax.Array]] = None):
+                 phase: str = "full", first: Optional[Sequence[jax.Array]] = None,
+                 cls_first: Optional[Sequence[jax.Array]] = None,
+                 fold_cls_entry: bool = False):
         ch = tuple(f.shape[-1] for f in feats)
         c2 = max(16, ch[0] // 4, self.reg_max * 4)
         c3 = max(ch[0], min(self.nc, 100))
         if phase == "box_folds":
-            return [{
+            folds = [{
                 "entry": FoldedConvBN(ch[i], c2, 3, name=f"cv2_{i}_0")(),
                 "mid": FoldedConvBN(c2, c2, 3, name=f"cv2_{i}_1")(),
                 "fin": ConvParams((1, 1, c2, 4 * self.reg_max),
                                   name=f"cv2_{i}_2")(),
             } for i in range(len(feats))]
+            if fold_cls_entry:
+                # class-branch entry: legacy = plain dense fold; modern =
+                # depthwise fold expanded to a diagonal dense block — either
+                # way it joins the shared entry conv (caller), removing the
+                # branch's own read of the level feature.
+                for i in range(len(feats)):
+                    if self.legacy:
+                        folds[i]["cls_entry"] = FoldedConvBN(
+                            ch[i], c3, 3, name=f"cv3_{i}_0")()
+                    else:
+                        folds[i]["cls_entry"] = _dw_to_dense(
+                            *FoldedDWConvBN(ch[i], 3, name=f"cv3_{i}_0_0")())
+            return folds
         outs = []
         for i, x in enumerate(feats):
             if phase == "cls_with_box":
@@ -119,11 +146,14 @@ class Detect(nn.Module):
                 b = nn.Conv(4 * self.reg_max, (1, 1), use_bias=True,
                             dtype=self.dtype, param_dtype=jnp.float32,
                             name=f"cv2_{i}_2")(b)
+            skip_entry = cls_first is not None
             if self.legacy:
-                c = ConvBNAct(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
+                c = cls_first[i] if skip_entry else ConvBNAct(
+                    c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
                 c = ConvBNAct(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(c, train)
             else:
-                c = DWConv(x.shape[-1], 3, dtype=self.dtype, name=f"cv3_{i}_0_0")(x, train)
+                c = cls_first[i] if skip_entry else DWConv(
+                    x.shape[-1], 3, dtype=self.dtype, name=f"cv3_{i}_0_0")(x, train)
                 c = ConvBNAct(c3, 1, dtype=self.dtype, name=f"cv3_{i}_0_1")(c, train)
                 c = DWConv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1_0")(c, train)
                 c = ConvBNAct(c3, 1, dtype=self.dtype, name=f"cv3_{i}_1_1")(c, train)
@@ -147,6 +177,11 @@ class Segment(nn.Module):
     reg_max: int = 16
     dtype: Dtype = jnp.float32
     fuse_entry: bool = True   # batch shared-input entry convs at eval
+    # Also ride the class branch's entry conv (DW expanded to a diagonal
+    # dense block / legacy plain conv) on the fused entry conv. Exact math;
+    # default OFF until measured on the chip (widens the entry GEMM N by the
+    # level channel count in exchange for one less read of the feature).
+    fuse_cls_entry: bool = False
     legacy: bool = False      # see Detect.legacy
 
     @nn.compact
@@ -179,20 +214,29 @@ class Segment(nn.Module):
         # the 32/64-channel K dims fill one MXU tile instead of under-filling
         # two. Exact math; variable tree identical to the staged path.
         c2 = max(16, feats[0].shape[-1] // 4, self.reg_max * 4)
-        det_folds = detect(feats, train, phase="box_folds")
+        det_folds = detect(feats, train, phase="box_folds",
+                           fold_cls_entry=self.fuse_cls_entry)
         proto_entry = proto(feats[0], train, phase="entry")
         box_outs, coefs = [], []
+        cls_first = [] if self.fuse_cls_entry else None
         proto_first = None
         for i, x in enumerate(feats):
             cv4_0 = FoldedConvBN(x.shape[-1], c4, 3, name=f"cv4_{i}_0")()
             cv4_1 = FoldedConvBN(c4, c4, 3, name=f"cv4_{i}_1")()
             cv4_2 = ConvParams((1, 1, c4, self.nm), name=f"cv4_{i}_2")()
             parts = [det_folds[i]["entry"], cv4_0]
+            if self.fuse_cls_entry:
+                parts.append(det_folds[i]["cls_entry"])
             if i == 0:
                 parts.append(proto_entry)
-            y0 = _fused_conv3x3(x, parts, self.dtype)     # [c2 | c4 | (npr)]
+            y0 = _fused_conv3x3(x, parts, self.dtype)  # [c2|c4|(cls)|(npr)]
+            off = c2 + c4
+            if self.fuse_cls_entry:
+                ccls = det_folds[i]["cls_entry"][0].shape[-1]
+                cls_first.append(y0[..., off:off + ccls])
+                off += ccls
             if i == 0:
-                proto_first = y0[..., c2 + c4:]
+                proto_first = y0[..., off:]
             y1 = _blockdiag_conv(y0[..., :c2 + c4],
                                  [det_folds[i]["mid"], cv4_1], 3, self.dtype)
             y2 = _blockdiag_conv(y1, [det_folds[i]["fin"], cv4_2], 1,
@@ -201,7 +245,8 @@ class Segment(nn.Module):
             m = y2[..., 4 * self.reg_max:]
             coefs.append(m.reshape(m.shape[0], -1, self.nm))
         protos = proto(feats[0], train, first=proto_first)
-        raw = detect(feats, train, phase="cls_with_box", first=box_outs)
+        raw = detect(feats, train, phase="cls_with_box", first=box_outs,
+                     cls_first=cls_first)
         mc = jnp.concatenate(coefs, axis=1)
         return raw, mc, protos
 
