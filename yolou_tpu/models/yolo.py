@@ -132,6 +132,7 @@ class YOLOModel(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     stem_s2d: bool = False   # inference: input is space_to_depth(x, 4)
+    fuse_cls_entry: bool = False  # see nn/heads.py Segment.fuse_cls_entry
 
     @nn.compact
     def __call__(self, x, train: bool = False, taps: Sequence[int] = (),
@@ -236,6 +237,7 @@ class YOLOModel(nn.Module):
                     raw, mc, protos = Segment(
                         spec.nc, spec.nm, spec.npr, spec.reg_max,
                         dtype=self.dtype, legacy=spec.legacy_head,
+                        fuse_cls_entry=self.fuse_cls_entry,
                         name=f"model_{i}")(feats, train)
                     head_out = (tuple(raw), mc, protos)
                 else:
@@ -264,9 +266,11 @@ class YOLOModel(nn.Module):
 def build_yolo(arch: str = "yolov12", variant: str = "n", nc: int = 1, ch: int = 4,
                task: str = "detect", dtype: Dtype = jnp.float32,
                use_pallas: bool = False,
-               stem_s2d: bool = False) -> YOLOModel:
+               stem_s2d: bool = False,
+               fuse_cls_entry: bool = False) -> YOLOModel:
     return YOLOModel(spec=parse_model_spec(arch, variant, nc, ch, task),
-                     dtype=dtype, use_pallas=use_pallas, stem_s2d=stem_s2d)
+                     dtype=dtype, use_pallas=use_pallas, stem_s2d=stem_s2d,
+                     fuse_cls_entry=fuse_cls_entry)
 
 
 def init_model(model: YOLOModel, rng: jax.Array, imgsz: int = 160, ch: int = 4,
