@@ -69,3 +69,23 @@ def test_cls_entry_fold_matches_staged(feats, legacy):
     np.testing.assert_allclose(pr_f, pr_s, atol=5e-5)
     for a, b in zip(raw_f, raw_s):
         np.testing.assert_allclose(a, b, atol=5e-5)
+
+
+def test_lazy_concat_differentiable_bf16():
+    """Regression: bf16 + lazy-concat split-GEMM broke autodiff (the f32
+    preferred_element_type output made the conv transpose see mixed dtypes).
+    Training materializes the concat; the grad must exist and be finite."""
+    from yolou_tpu.nn.blocks import ConvBNAct
+
+    m = ConvBNAct(64, 1, dtype=jnp.bfloat16)
+    pieces = tuple(jnp.ones((1, 8, 8, 128), jnp.bfloat16) for _ in range(2))
+    v = m.init(jax.random.key(0), pieces, train=True)
+
+    def loss(params):
+        y, _ = m.apply({**v, "params": params}, pieces, train=True,
+                       mutable=["batch_stats"])
+        return jnp.sum(y.astype(jnp.float32))
+
+    g = jax.grad(loss)(v["params"])
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf, np.float32)))

@@ -15,13 +15,16 @@ from ..utils.model_io import load_model
 
 def get_or_init_detector(model_path: Optional[str], *, variant: str = "n",
                          nc: int = 1, ch: int = 4, task: str = "detect",
-                         imgsz: int = 160, seed: int = 0, dtype=None):
+                         imgsz: int = 160, seed: int = 0, dtype=None,
+                         use_pallas: bool = False):
     """Load a saved detector, or initialize fresh weights when no checkpoint
     exists (the reference requires a gitignored .pt; we degrade gracefully)."""
     if model_path and os.path.exists(model_path):
-        model, variables = load_model(model_path, dtype=dtype)
+        model, variables = load_model(model_path, dtype=dtype,
+                                      use_pallas=use_pallas)
         return model, variables
     model = build_yolo("yolov12", variant, nc=nc, ch=ch, task=task,
+                       use_pallas=use_pallas,
                        **({} if dtype is None else {"dtype": dtype}))
     init = jax.jit(lambda k, x: model.init(k, x, train=False))
     variables = init(jax.random.key(seed), jnp.zeros((1, imgsz, imgsz, ch)))

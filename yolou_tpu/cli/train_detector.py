@@ -30,12 +30,22 @@ def main(argv=None):
     p.add_argument("--run-dir", default="runs_detector")
     p.add_argument("--out", default="yolo_checkpoint/weights/best.ckpt")
     p.add_argument("--resume", default=None)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype (params stay f32; bfloat16 is the "
+                        "TPU equivalent of the reference's AMP training)")
+    p.add_argument("--pallas", action="store_true",
+                   help="fused Pallas area-attention kernels (custom VJP)")
     args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
 
     data_cfg = load_data_yaml(args.data)
     model, variables = get_or_init_detector(
         args.model, variant=args.variant, nc=data_cfg.nc,
-        ch=data_cfg.channels, task=args.task, imgsz=args.imgsz)
+        ch=data_cfg.channels, task=args.task, imgsz=args.imgsz,
+        dtype=dtype, use_pallas=args.pallas)
     mesh = meshlib.make_mesh(args.data_parallel) if args.data_parallel else None
     cfg = DetectorTrainConfig(
         imgsz=args.imgsz, batch_size=args.batch, epochs=args.epochs,

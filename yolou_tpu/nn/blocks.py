@@ -104,8 +104,13 @@ class ConvBNAct(nn.Module):
             # 256+128 pieces win 0.7-1.0ms each, but 16/32/64-channel pieces
             # LOSE up to 2x (lane-starved partial GEMMs cost more than the
             # materialized concat). Gate on min piece width >= 128.
-            if (not (self.k == 1 and self.s == 1 and self.g == 1
-                     and self.d == 1)
+            # Training materializes the concat: the split pieces' f32
+            # preferred_element_type output makes the conv TRANSPOSE see
+            # mixed bf16/f32 operands (autodiff error), and the split form
+            # was only ever measured on the eval path.
+            if (train
+                    or not (self.k == 1 and self.s == 1 and self.g == 1
+                            and self.d == 1)
                     or min(t.shape[-1] for t in x) < 128):
                 x = cat_channels(x)
         if isinstance(x, (tuple, list)):

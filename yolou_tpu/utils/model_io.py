@@ -30,7 +30,8 @@ def save_model(path: str, variables: Dict, *, arch: str = "yolov12",
                            "variables": jax.device_get(variables)})
 
 
-def load_model(path: str, dtype=None) -> Tuple[object, Dict]:
+def load_model(path: str, dtype=None, use_pallas: bool = False
+               ) -> Tuple[object, Dict]:
     blob = load_checkpoint(path)
     meta = json.loads(blob["meta_json"])
     assert meta["magic"] == MAGIC, f"not a yolou_tpu model file: {path}"
@@ -41,5 +42,6 @@ def load_model(path: str, dtype=None) -> Tuple[object, Dict]:
         model = YOLOSegPP(spec=spec, use_logits=meta["use_logits"], **kwargs)
     else:
         model = build_yolo(meta["arch"], meta["variant"], meta["nc"],
-                           meta["ch"], meta["task"], **kwargs)
+                           meta["ch"], meta["task"], use_pallas=use_pallas,
+                           **kwargs)
     return model, blob["variables"]
