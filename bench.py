@@ -298,6 +298,13 @@ def main():
 
     details = {}
     tpu_details, tpu_fail = _run_tpu_phase_subprocess()
+    if tpu_details is not None and not tpu_details.get("tpu_ips_best"):
+        # phase ran but every batch sweep failed (e.g. tunnel died mid-run):
+        # treat as unavailable so zeros never clobber last_good or the line
+        tpu_fail = "tpu phase produced no throughput: " + "; ".join(
+            str(v) for k, v in tpu_details.items() if "error" in k)[:300]
+        details.update(tpu_details)
+        tpu_details = None
     if tpu_details is not None:
         details.update(tpu_details)
         lg = dict(tpu_details)

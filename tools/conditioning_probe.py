@@ -43,12 +43,15 @@ def stats_for(om, fg):
     train, ev = conditionings(om)
     out = {}
     for name, m in (("train_zscore_sigmoid", train), ("eval_raw_sigmoid", ev)):
+        fg_mean = float(m[fg].mean()) if fg.any() else None
+        bg_mean = float(m[~fg].mean()) if (~fg).any() else None
         out[name] = {
             "mean": float(m.mean()),
-            "fg_mean": float(m[fg].mean()) if fg.any() else None,
-            "bg_mean": float(m[~fg].mean()),
-            "contrast": (float(m[fg].mean() - m[~fg].mean())
-                         if fg.any() else None),
+            "fg_mean": fg_mean,
+            "bg_mean": bg_mean,
+            "contrast": (fg_mean - bg_mean
+                         if fg_mean is not None and bg_mean is not None
+                         else None),
         }
     out["l1_between_paths"] = float(np.abs(train - ev).mean())
     out["raw_logit_mean"] = float(om.mean())
@@ -116,10 +119,11 @@ def main():
         for path in ("train_zscore_sigmoid", "eval_raw_sigmoid"):
             cs = [s[path]["contrast"] for s in per_image
                   if s[path]["contrast"] is not None]
+            bgs = [s[path]["bg_mean"] for s in per_image
+                   if s[path]["bg_mean"] is not None]
             agg[path] = {
                 "mean_contrast": float(np.mean(cs)) if cs else None,
-                "mean_bg": float(np.mean([s[path]["bg_mean"]
-                                          for s in per_image])),
+                "mean_bg": float(np.mean(bgs)) if bgs else None,
             }
         agg["mean_l1_between_paths"] = float(
             np.mean([s["l1_between_paths"] for s in per_image]))

@@ -80,11 +80,13 @@ class YOLOSegPP(nn.Module):
     spec: ModelSpec
     use_logits: bool = True
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, logits: Optional[jax.Array] = None,
                  train: bool = False) -> Tuple[jax.Array, YoloOutputs]:
-        yolo = YOLOModel(self.spec, dtype=self.dtype, name="yolo")
+        yolo = YOLOModel(self.spec, dtype=self.dtype,
+                         use_pallas=self.use_pallas, name="yolo")
         full = logits is None
         out = yolo(x, train=False, taps=SKIP_TAPS,
                    stop_at=None if full else ENCODER_LAYERS)

@@ -213,9 +213,11 @@ class Segment(nn.Module):
         # so every intermediate is read once instead of once per branch and
         # the 32/64-channel K dims fill one MXU tile instead of under-filling
         # two. Exact math; variable tree identical to the staged path.
-        c2 = max(16, feats[0].shape[-1] // 4, self.reg_max * 4)
         det_folds = detect(feats, train, phase="box_folds",
                            fold_cls_entry=self.fuse_cls_entry)
+        # box-branch width comes from the folds themselves so the slicing
+        # offsets below can never drift from Detect's internal formula
+        c2 = det_folds[0]["entry"][0].shape[-1]
         proto_entry = proto(feats[0], train, phase="entry")
         box_outs, coefs = [], []
         cls_first = [] if self.fuse_cls_entry else None

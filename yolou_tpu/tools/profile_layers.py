@@ -115,7 +115,8 @@ def profile_prefixes(batch: int = 128, imgsz: int = 640, use_pallas: bool = True
 
     n_layers = len(model.spec.layers)
     sel = layers if layers else list(range(1, n_layers + 1))
-    sel = sorted(set(sel))
+    # prefix 0 is the empty program — its time is identically 0, not a runner
+    sel = sorted(set(sel) - {0})
 
     runners = {}
     for i in sel:

@@ -39,7 +39,8 @@ def load_model(path: str, dtype=None, use_pallas: bool = False
     if meta["kind"] == "segpp":
         spec = parse_model_spec(meta["arch"], meta["variant"], meta["nc"],
                                 meta["ch"], meta["task"])
-        model = YOLOSegPP(spec=spec, use_logits=meta["use_logits"], **kwargs)
+        model = YOLOSegPP(spec=spec, use_logits=meta["use_logits"],
+                          use_pallas=use_pallas, **kwargs)
     else:
         model = build_yolo(meta["arch"], meta["variant"], meta["nc"],
                            meta["ch"], meta["task"], use_pallas=use_pallas,
