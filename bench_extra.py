@@ -57,7 +57,9 @@ def main(only: str = ""):
     # ---- config 2/3: fused SegPP inference + eval step at 160
     if do_infer:
         spec = parse_model_spec("yolov12", "n", nc=1, ch=4, task="detect")
-        segpp = YOLOSegPP(spec=spec, dtype=jnp.bfloat16)
+        # use_pallas: the fused attention kernels serve the e2e surface too
+        # (round-3: previously this bench ran the staged XLA attention)
+        segpp = YOLOSegPP(spec=spec, dtype=jnp.bfloat16, use_pallas=True)
         sv = jax.jit(lambda k, x: segpp.init(k, x, train=False))(
             jax.random.key(0), jnp.zeros((1, 160, 160, 4)))
 
