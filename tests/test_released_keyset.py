@@ -27,6 +27,7 @@ FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
 CASES = {
     "yolov12": ("yolov12n_seg_state_dict.txt", 2.80e6, 2.92e6),
     "yolov8": ("yolov8n_seg_state_dict.txt", 3.35e6, 3.47e6),
+    "yolo11": ("yolo11n_seg_state_dict.txt", 2.83e6, 2.95e6),
 }
 
 

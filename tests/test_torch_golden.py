@@ -926,3 +926,38 @@ def test_golden_full_family_detect_model(arch):
     for rt, rj in zip(raw_t, out.raw):
         np.testing.assert_allclose(np.asarray(rj).transpose(0, 3, 1, 2),
                                    rt.numpy(), atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("arch", ["yolov8", "yolo11"])
+def test_golden_full_family_segment_model(arch):
+    """Whole-graph v8/v11 SEGMENT goldens: exercises the legacy (v8) vs
+    modern (v11) class-branch structure through the converter AND the fused
+    eval head — raw maps, mask coefs, protos."""
+    from yolou_tpu.models.yolo import build_yolo
+
+    jmod = build_yolo(arch, "n", nc=1, ch=3, task="segment")
+    t = _randomize(TYOLOGraph(jmod.spec, ch_in=3))
+    keys = set(_sd(t))
+    head = len(jmod.spec.layers) - 1
+    if arch == "yolov8":   # legacy plain-Conv class branch
+        assert f"model.{head}.cv3.0.0.conv.weight" in keys
+        assert f"model.{head}.cv3.0.0.0.conv.weight" not in keys
+    else:                  # modern DWConv pairs
+        assert f"model.{head}.cv3.0.0.0.conv.weight" in keys
+    x = torch.randn(1, 3, 64, 64, generator=torch.Generator().manual_seed(7))
+    with torch.no_grad():
+        raw_t, mc_t, p_t = t(x)
+    template = jmod.init(jax.random.key(0),
+                         jnp.zeros((1, 64, 64, 3)), train=False)
+    variables, report = convert_state_dict(_sd(t), jax.device_get(template),
+                                           strict=True)
+    assert not report["unused"], report["unused"][:8]
+    out = jmod.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+                     train=False)
+    for rt, rj in zip(raw_t, out.raw):
+        np.testing.assert_allclose(np.asarray(rj).transpose(0, 3, 1, 2),
+                                   rt.numpy(), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.mask_coefs).transpose(0, 2, 1),
+                               mc_t.numpy(), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.protos).transpose(0, 3, 1, 2),
+                               p_t.numpy(), atol=1e-5, rtol=1e-4)

@@ -62,3 +62,4 @@ def dump(arch, fname):
 if __name__ == "__main__":
     dump("yolov12", "yolov12n_seg_state_dict.txt")
     dump("yolov8", "yolov8n_seg_state_dict.txt")
+    dump("yolo11", "yolo11n_seg_state_dict.txt")
