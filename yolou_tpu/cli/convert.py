@@ -9,6 +9,13 @@ mapping is tested in tests/test_torch_golden.py.
 Examples:
   python -m yolou_tpu convert --pt best.pt --task segment --out best.ckpt
   python -m yolou_tpu convert --pt decoder.pt --kind segpp --out segpp.ckpt
+
+Note: the input must be a plain state_dict .pt (loaded weights_only — no
+pickle execution). An ultralytics runs/.../best.pt is a pickled Model object;
+extract it once in any env that has ultralytics installed:
+  torch.save(torch.load("best.pt")["model"].float().state_dict(), "sd.pt")
+The key sets this converter expects are pinned byte-for-byte in
+tests/fixtures/*_state_dict.txt (yolov12n/yolov8n/yolo11n -seg).
 """
 
 from __future__ import annotations
