@@ -35,6 +35,7 @@ from ..metrics.seg import (dice_binary, hd95_batch, nanmean,
                            precision_recall_counts)
 from ..models.segpp import YOLOSegPP
 from ..parallel import mesh as meshlib
+from ..utils.async_metrics import ScalarPipeline
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 
 
@@ -213,18 +214,36 @@ class DecoderTrainer:
             nb = 0
             it = train_ds.batches(cfg.batch_size, shuffle=cfg.shuffle,
                                   seed=cfg.seed + epoch)
+            pipe = ScalarPipeline(depth=2)
+            nan_hit = False
+
+            def _acc(got):
+                nonlocal tr_loss, tr_dice, nan_hit
+                lf = float(got[0])
+                if np.isnan(lf):
+                    nan_hit = True
+                tr_loss += lf
+                tr_dice += float(got[1])
+
             for imgs, masks, oms, n_real in prefetch(it):
                 batch = (imgs, masks, oms)
                 if self.mesh is not None:
                     batch = meshlib.shard_batch(self.mesh, batch)
                 self.state, loss, dice = self._train_step(self.state, *batch)
-                lf = float(loss)
-                if np.isnan(lf):
-                    print("NaN loss detected!")
-                    return self.history
-                tr_loss += lf
-                tr_dice += float(dice)
+                # pipelined fetch (one step delayed) keeps the device busy
+                # while the host stages the next batch; the NaN abort below
+                # therefore fires at most one step late
+                got = pipe.push((loss, dice))
+                if got is not None:
+                    _acc(got)
                 nb += 1
+                if nan_hit:
+                    break
+            for got in pipe.drain():
+                _acc(got)
+            if nan_hit:
+                print("NaN loss detected!")
+                return self.history
             tr_loss /= max(nb, 1)
             tr_dice /= max(nb, 1)
             t1 = time.time()

@@ -35,6 +35,7 @@ from ..data.decoder_dataset import prefetch
 from ..losses.v8 import LossHyp, v8_loss
 from ..models.yolo import YOLOModel
 from ..parallel import mesh as meshlib
+from ..utils.async_metrics import ScalarPipeline
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 
 
@@ -281,6 +282,14 @@ class DetectorTrainer:
                     items = [ds.item(int(j)) for j in sel]
                     yield collate_idmap(items, cfg.max_instances)
 
+            pipe = ScalarPipeline(depth=2)
+
+            def _acc(got):
+                loss, parts = got
+                ep["loss"] += float(loss)
+                for k in ("box", "cls", "dfl", "seg"):
+                    ep[k] += float(parts[k])
+
             for cb in prefetch(batch_iter()):
                 key, sub = jax.random.split(key)
                 args = (jnp.asarray(cb["img"]), jnp.asarray(cb["idmap"]),
@@ -289,10 +298,14 @@ class DetectorTrainer:
                     args = meshlib.shard_batch(self.mesh, args)
                 self.state, loss, parts = self._step[mosaic_on](
                     self.state, *args, sub)
-                ep["loss"] += float(loss)
-                for k in ("box", "cls", "dfl", "seg"):
-                    ep[k] += float(parts[k])
+                # pipelined fetch: materialise step k-1's scalars only after
+                # dispatching step k, so device compute overlaps host collate
+                got = pipe.push((loss, parts))
+                if got is not None:
+                    _acc(got)
                 nb += 1
+            for got in pipe.drain():
+                _acc(got)
 
             for k in ep:
                 self.history[k].append(ep[k] / max(nb, 1))
