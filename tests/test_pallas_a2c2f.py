@@ -1,8 +1,11 @@
 """Whole-A2C2f mega-kernel (ops/pallas_a2c2f.py) parity in interpret mode.
 
-The kernel is currently unwired (measured slower than the staged path on
-v5e — CLAUDE.md dead-ends), but kept correct as the base for future
-attention-stage fusion work: exact vs the pure-XLA reference composition.
+Round 3 wired the kernel into A2C2f's eval path behind an OPT-IN
+`mega_kernel` flag: pe-early scheduling wins in isolation (L6 7.95 vs 8.3 ms
+b128/640 on v5e) but loses in-situ (tools/mega_probe.py: full forward 42.1
+vs 32.1 ms), so it stays off in the product surfaces. Covered here: op-level
+parity vs the pure-XLA reference composition plus module-level routing
+parity (mega path vs staged path over the SAME variables).
 """
 
 import jax
@@ -37,3 +40,31 @@ def test_a2c2f_fused_matches_reference(shape, cfg, ablate):
     got = a2c2f_fused(x, ws, cfg["n_stages"], cfg["area"], cfg["heads"],
                       interpret=True, ablate=ablate)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=2e-5)
+
+
+def test_a2c2f_module_mega_routing_parity():
+    """use_pallas=True at an eligible eval shape routes through the
+    mega-kernel and must match the staged path over the same variables."""
+    from yolou_tpu.nn.attention import A2C2f
+    from yolou_tpu.ops.pallas_a2c2f import a2c2f_mega_eligible
+
+    # smallest eligible shape: n=400 tokens, c_=32 (gate sanity first)
+    assert a2c2f_mega_eligible(20, 20, 64, 32, 1, 1)
+    assert not a2c2f_mega_eligible(5, 5, 512, 128, 1, 4)   # 160-input L8
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 0.5, (2, 20, 20, 64)).astype(np.float32))
+    staged = A2C2f(c2=64, n=1, a2=True, area=1, dtype=jnp.float32,
+                   use_pallas=False)
+    mega = A2C2f(c2=64, n=1, a2=True, area=1, dtype=jnp.float32,
+                 use_pallas=True, mega_kernel=True)
+    off = A2C2f(c2=64, n=1, a2=True, area=1, dtype=jnp.float32,
+                use_pallas=True)   # default: mega stays off
+    v = staged.init(jax.random.key(0), x, train=False)
+    y0 = staged.apply(v, x, train=False)
+    y1 = mega.apply(v, x, train=False)          # same tree, folded mirrors
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-5)
+    y3 = off.apply(v, x, train=False)           # default routing: no mega
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y3), atol=2e-5)
+    # train path over the same variables still runs the staged modules
+    y2, _ = mega.apply(v, x, train=True, mutable=["batch_stats"])
+    assert y2.shape == y0.shape

@@ -133,6 +133,8 @@ class YOLOModel(nn.Module):
     use_pallas: bool = False
     stem_s2d: bool = False   # inference: input is space_to_depth(x, 4)
     fuse_cls_entry: bool = False  # see nn/heads.py Segment.fuse_cls_entry
+    mega_kernel: bool = False  # A2C2f whole-block kernel — probe-only, loses
+    #                            in-situ (tools/mega_probe.py; attention.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False, taps: Sequence[int] = (),
@@ -204,6 +206,7 @@ class YOLOModel(nn.Module):
                 area = area if isinstance(area, int) and area > 0 else 1
                 y = A2C2f(c2, layer.repeats, a2, area, dtype=self.dtype,
                           use_pallas=self.use_pallas,
+                          mega_kernel=self.mega_kernel,
                           name=f"model_{i}")(get(layer.frm[0]), train)
             elif layer.block == "C3Ghost":
                 y = C3Ghost(layer.args[0], layer.repeats, dtype=self.dtype,
@@ -267,10 +270,11 @@ def build_yolo(arch: str = "yolov12", variant: str = "n", nc: int = 1, ch: int =
                task: str = "detect", dtype: Dtype = jnp.float32,
                use_pallas: bool = False,
                stem_s2d: bool = False,
-               fuse_cls_entry: bool = False) -> YOLOModel:
+               fuse_cls_entry: bool = False,
+               mega_kernel: bool = False) -> YOLOModel:
     return YOLOModel(spec=parse_model_spec(arch, variant, nc, ch, task),
                      dtype=dtype, use_pallas=use_pallas, stem_s2d=stem_s2d,
-                     fuse_cls_entry=fuse_cls_entry)
+                     fuse_cls_entry=fuse_cls_entry, mega_kernel=mega_kernel)
 
 
 def init_model(model: YOLOModel, rng: jax.Array, imgsz: int = 160, ch: int = 4,

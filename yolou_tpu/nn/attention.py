@@ -48,8 +48,13 @@ class AAttn(nn.Module):
         # (tools/torch2jax.py::aattn_qkv_permutation) — same function.
         n = H * W
         area = self.area if n % self.area == 0 else 1
+        # Pallas only on Mosaic-supported band shapes (640-class inputs);
+        # small-input graphs (e.g. 160² -> 5x5 bands) take the XLA path.
+        from ..ops.pallas_attn import pallas_band_eligible
+        pallas_ok = self.use_pallas and pallas_band_eligible(
+            n // area, self.dim, self.num_heads)
 
-        if self.use_pallas and not train:
+        if pallas_ok and not train:
             # Mega-kernel eval path: qkv conv+BN fold into an affine GEMM
             # computed inside the attention kernel — q/k/v never round-trip
             # HBM. Shares ConvBNAct's exact variable tree via _FoldedConvBN.
@@ -71,7 +76,7 @@ class AAttn(nn.Module):
         tokens = qkv.reshape(B * area, n // area, 3 * self.dim)
         q, k, v = jnp.split(tokens, 3, axis=-1)   # each (b', n', C) head-major
 
-        if self.use_pallas:
+        if pallas_ok:
             from ..ops.pallas_attn import area_attention_fused
 
             out = area_attention_fused(q, k, v, self.num_heads)
@@ -185,6 +190,38 @@ class C2PSA(nn.Module):
             (a, b), train)
 
 
+class _FoldedAAttnParams(nn.Module):
+    """AAttn's variable tree (attn/{qkv,pe,proj}), returned as BN-folded
+    affines for the whole-A2C2f mega-kernel (ops/pallas_a2c2f.py)."""
+
+    cin: int
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        wq, bq = FoldedConvBN(self.cin, 3 * self.dim, 1, name="qkv")()
+        wpe, bpe = FoldedConvBN(1, self.dim, 7, name="pe")()
+        wp, bp = FoldedConvBN(self.dim, self.dim, 1, name="proj")()
+        return wq, bq, wpe, bpe, wp, bp
+
+
+class _FoldedABlockParams(nn.Module):
+    """ABlock's variable tree ({attn, mlp1, mlp2}) as folded affines, in the
+    mega-kernel's per-ABlock weight order."""
+
+    dim: int
+    mlp_ratio: float = 2.0
+
+    @nn.compact
+    def __call__(self):
+        wq, bq, wpe, bpe, wp, bp = _FoldedAAttnParams(
+            self.dim, self.dim, name="attn")()
+        h = int(self.dim * self.mlp_ratio)
+        wm1, bm1 = FoldedConvBN(self.dim, h, 1, name="mlp1")()
+        wm2, bm2 = FoldedConvBN(h, self.dim, 1, name="mlp2")()
+        return wq, bq, wpe, bpe, wp, bp, wm1, bm1, wm2, bm2
+
+
 class A2C2f(nn.Module):
     """Area-attention C2f: cv1 -> n stages of (2x ABlock | C3k) -> concat -> cv2.
 
@@ -203,6 +240,12 @@ class A2C2f(nn.Module):
     shortcut: bool = True
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    # Opt-in only: the whole-block mega-kernel wins in ISOLATION (L6 b128
+    # 7.95 vs 8.3 ms staged, tools/a2c2f_probe.py --ablate=early) but LOSES
+    # in-situ (full forward b128/640: 42.1 vs 32.1 ms, tools/mega_probe.py) —
+    # materializing its output forfeits the staged path's lazy-concat /
+    # epilogue fusions with neighboring layers. Kept wired for probes/tests.
+    mega_kernel: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -210,6 +253,42 @@ class A2C2f(nn.Module):
         num_heads = max(1, c_ // 32)
         if self.a2 and self.residual:
             x = cat_channels(x)   # residual add needs the materialized input
+
+        if (self.a2 and not self.residual and self.use_pallas
+                and self.mega_kernel and not train
+                and isinstance(x, jax.Array)):
+            from ..ops.pallas_a2c2f import a2c2f_fused, a2c2f_mega_eligible
+
+            B, H, W, cin = x.shape
+            n_tok = H * W
+            area = self.area if n_tok % self.area == 0 else 1
+            if a2c2f_mega_eligible(H, W, cin, c_, area, num_heads):
+                # Whole-block mega-kernel: cv1 -> 2n ABlocks -> cv2 in ONE
+                # Pallas program per image — one HBM read + one write instead
+                # of ~18, and the pe dw7x7 issued BEFORE the attention dots so
+                # Mosaic overlaps the VPU taps with the MXU (measured L6 b128:
+                # 7.95 ms vs 8.3 staged / 9.33 pe-late, tools/a2c2f_probe.py).
+                # Exact same folded math as the staged eval path; variables
+                # are the staged tree via the _Folded*Params mirrors.
+                dt = self.dtype
+                wcv1, bcv1 = FoldedConvBN(cin, c_, 1, name="cv1")()
+                ws = [wcv1[0, 0].astype(dt), bcv1]
+                for i in range(self.n):
+                    for j in range(2):
+                        wq, bq, wpe, bpe, wp, bp, wm1, bm1, wm2, bm2 = \
+                            _FoldedABlockParams(c_, self.mlp_ratio,
+                                                name=f"m{i}_{j}")()
+                        ws += [wq[0, 0].astype(dt), bq,
+                               wpe[:, :, 0, :], bpe,
+                               wp[0, 0].astype(dt), bp,
+                               wm1[0, 0].astype(dt), bm1,
+                               wm2[0, 0].astype(dt), bm2]
+                wcv2, bcv2 = FoldedConvBN((self.n + 1) * c_, self.c2, 1,
+                                          name="cv2")()
+                ws += [wcv2[0, 0].astype(dt), bcv2]
+                return a2c2f_fused(x, ws, self.n, area, num_heads,
+                                   ablate="early")
+
         y = ConvBNAct(c_, 1, dtype=self.dtype, name="cv1")(x, train)
         ys = [y]
         for i in range(self.n):

@@ -38,6 +38,28 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
+def a2c2f_mega_eligible(H: int, W: int, cin: int, c_: int, area: int,
+                        heads: int) -> bool:
+    """Static gate for routing A2C2f eval through the mega-kernel.
+
+    Requirements (all measured on v5e, tools/a2c2f_probe.py):
+      * sublane-aligned band length (nb % 16, same Mosaic constraint as
+        ops/pallas_attn.py::pallas_band_eligible),
+      * 640-class shapes only: the win comes from eliding ~1 ms/ABlock of
+        HBM layout transitions + XLA plumbing, which only exist at L6/L8
+        backbone sizes (N=1600/400); small-graph shapes keep the staged path,
+      * the per-image working set must fit scoped VMEM — the measured-good
+        envelope is N*c_ <= 1600*64 with cin <= 512 (L6 40x40x256/c64 and
+        L8 20x20x512/c128 both fit; anything larger is unproven).
+    """
+    n = H * W
+    if n % area:
+        area = 1
+    nb = n // area
+    return (nb % 16 == 0 and c_ % heads == 0 and n >= 400
+            and n * c_ <= 1600 * 64 and cin <= 512)
+
+
 def _silu(x):
     return x * jax.nn.sigmoid(x)
 

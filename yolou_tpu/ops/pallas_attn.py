@@ -28,6 +28,19 @@ except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
 
+def pallas_band_eligible(n_band: int, c: int, heads: int) -> bool:
+    """Static shape gate for the fused band kernels.
+
+    Mosaic lowers the in-kernel (gb, n, c) -> (gb*heads, n, c) collapse as a
+    vector shape cast that requires sublane-aligned n: at n=25 (a 160-input
+    backbone's 5x5 level) it fails with "infer-vector-layout: unsupported
+    shape cast". 16 is the bf16 sublane pack; n % 16 == 0 covers every shape
+    the kernels were measured on (n=400/1600). Callers fall back to the XLA
+    reference composition when this is False.
+    """
+    return n_band % 16 == 0 and c % heads == 0
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     q = q_ref[:]                      # (GB, N, hd)
     k = k_ref[:]
