@@ -199,3 +199,20 @@ def test_mosaic4_random_center_semantics():
         centers_seen.add(tuple(centers[i]))
     assert len(centers_seen) > 1            # randomness across the batch
     assert centers[:, 0].min() >= s // 2 and centers[:, 0].max() <= 3 * s // 2
+
+
+def test_separable_warp_matches_gather_warp():
+    """The axis-separable fast path (degrees=shear=0, the default hyp) must
+    reproduce the general gather warp exactly, fill handling included."""
+    from yolou_tpu.data.augment import affine_warp, affine_warp_separable
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.random((64, 48, 4)).astype(np.float32))
+    idm = jnp.asarray(rng.integers(0, 6, (64, 48)).astype(np.int32))
+    for a, d, b2, e in [(1.3, -4.2, 1.1, 2.0), (0.71, 9.9, 0.62, -3.3),
+                        (2.0, -30.0, 2.0, 40.0)]:   # incl. heavy out-of-range
+        minv = jnp.asarray([[a, 0.0, d], [0.0, b2, e]], jnp.float32)
+        i1, m1 = affine_warp(img, idm, minv, 32)
+        i2, m2 = affine_warp_separable(img, idm, minv, 32)
+        np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))

@@ -101,6 +101,52 @@ def affine_warp(img: jax.Array, idmap: jax.Array, minv: jax.Array,
             _nearest_sample_int(idmap, sx, sy))
 
 
+def _axis_lerp(img: jax.Array, pos: jax.Array, axis: int, fill) -> jax.Array:
+    """1-D bilinear resample of `img` along `axis` at float source positions
+    `pos` (S_out,); out-of-range taps read `fill`. Whole-row/column takes —
+    coarse contiguous gathers the TPU handles at near-bandwidth, unlike the
+    per-pixel 2-D gather in `_bilinear_sample`."""
+    n = img.shape[axis]
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    f = pos - i0
+    shape = [1] * img.ndim
+    shape[axis] = -1
+    v0 = ((i0 >= 0) & (i0 < n)).reshape(shape)
+    v1 = ((i0 + 1 >= 0) & (i0 + 1 < n)).reshape(shape)
+    g0 = jnp.take(img, jnp.clip(i0, 0, n - 1), axis=axis)
+    g1 = jnp.take(img, jnp.clip(i0 + 1, 0, n - 1), axis=axis)
+    f = f.reshape(shape)
+    g0 = jnp.where(v0, g0, fill)
+    g1 = jnp.where(v1, g1, fill)
+    return g0 * (1 - f) + g1 * f
+
+
+def _axis_nearest_int(m: jax.Array, pos: jax.Array, axis: int) -> jax.Array:
+    n = m.shape[axis]
+    i = jnp.round(pos).astype(jnp.int32)
+    shape = [1] * m.ndim
+    shape[axis] = -1
+    v = ((i >= 0) & (i < n)).reshape(shape)
+    return jnp.where(v, jnp.take(m, jnp.clip(i, 0, n - 1), axis=axis), 0)
+
+
+def affine_warp_separable(img: jax.Array, idmap: jax.Array, minv: jax.Array,
+                          out_size: int, fill: float = GRAY
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """Axis-separable warp for cross-term-free affines (degrees=shear=0, the
+    reference's default hyp): sx depends only on x and sy only on y, so the
+    2-D bilinear gather factors EXACTLY into a row lerp then a column lerp
+    (the constant fill commutes through the outer lerp). Replaces the
+    per-pixel gather — measured 46 ms of the 56 ms b32/160 train step — with
+    four contiguous row/column takes."""
+    r = jnp.arange(out_size, dtype=jnp.float32)
+    sx = minv[0, 0] * r + minv[0, 2]
+    sy = minv[1, 1] * r + minv[1, 2]
+    out = _axis_lerp(_axis_lerp(img, sy, 0, fill), sx, 1, fill)
+    ids = _axis_nearest_int(_axis_nearest_int(idmap, sy, 0), sx, 1)
+    return out, ids
+
+
 def _affine_inverse_params(key: jax.Array, hyp: AugHyp, in_size: float,
                            out_size: float) -> jax.Array:
     """Random inverse affine (out px -> in px), jitter around a center crop."""
@@ -479,13 +525,18 @@ def augment_batch(img: jax.Array, idmap: jax.Array, cls: jax.Array,
         canvas, mcanvas = img, idmap
         in_size = s
 
-    # affine back to S
+    # affine back to S: separable (contiguous takes) when the hyp can't
+    # produce cross terms; the general gather warp only for rotation/shear
     minvs = jax.vmap(lambda k: _affine_inverse_params(k, hyp, in_size, s))(
         jax.random.split(keys[2], b))
-    img, idmap = jax.vmap(lambda im, mm, mv: affine_warp(im, mm, mv, s))(
+    warp = (affine_warp_separable
+            if hyp.degrees == 0 and hyp.shear == 0 else affine_warp)
+    img, idmap = jax.vmap(lambda im, mm, mv: warp(im, mm, mv, s))(
         canvas, mcanvas, minvs)
 
-    img, idmap, cls, valid = mixup(img, idmap, cls, valid, keys[3], hyp.mixup)
+    if hyp.mixup > 0:   # static gate: p=0 must not double the label slots
+        img, idmap, cls, valid = mixup(img, idmap, cls, valid, keys[3],
+                                       hyp.mixup)
     if hyp.cutmix > 0:
         img, idmap, cls, valid = cutmix(img, idmap, cls, valid, keys[9],
                                         hyp.cutmix)
