@@ -209,7 +209,11 @@ def test_main_module_dispatcher(capsys):
         assert m.main() == 0
     finally:
         sys.argv = old
-    assert "train-decoder" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    assert "train-decoder" in out
+    assert "profile" in out          # profiling is a first-class command
+    from yolou_tpu.cli import profile as profile_cli
+    assert callable(profile_cli.main)
 
 
 def test_package_api_surface():

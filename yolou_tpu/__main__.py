@@ -13,6 +13,7 @@ COMMANDS = {
     "generate-objectmaps": "yolou_tpu.cli.generate_objectmaps",
     "generate-heatmaps": "yolou_tpu.cli.generate_heatmaps",
     "visualize-logits": "yolou_tpu.cli.visualize_logits",
+    "profile": "yolou_tpu.cli.profile",
 }
 
 

@@ -209,7 +209,7 @@ def profile_attention_variants(batch: int = 128) -> dict:
     return results
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--imgsz", type=int, default=640)
@@ -219,7 +219,7 @@ def main():
     ap.add_argument("--layers", type=str, default="",
                     help="comma-separated prefix indices (default: all)")
     ap.add_argument("--out", type=str, default="PROFILE.json")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     if args.attn:
         out = profile_attention_variants(args.batch)
