@@ -216,3 +216,30 @@ def test_separable_warp_matches_gather_warp():
         i2, m2 = affine_warp_separable(img, idm, minv, 32)
         np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), atol=1e-6)
         np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def test_reduce_instances_semantics():
+    """Compare-arithmetic remap (no scatter/gather) vs a literal numpy
+    reference: keep the g_out largest valid instances, remap ids by area
+    rank, zero everything else."""
+    from yolou_tpu.data.augment import reduce_instances
+
+    rng = np.random.default_rng(11)
+    b, s, g_in, g_out = 3, 32, 10, 4
+    idm = rng.integers(0, g_in + 1, (b, s, s)).astype(np.int32)
+    cls = rng.integers(0, 5, (b, g_in)).astype(np.int32)
+    val = rng.random((b, g_in)) < 0.7
+    nid, ncls, nval = (np.asarray(t) for t in reduce_instances(
+        jnp.asarray(idm), jnp.asarray(cls), jnp.asarray(val), g_out))
+    for i in range(b):
+        areas = np.array([(idm[i] == j + 1).sum() * val[i, j]
+                          for j in range(g_in)], np.float32)
+        order = np.argsort(-areas, kind="stable")[:g_out]
+        exp = np.zeros_like(idm[i])
+        for rank, j in enumerate(order):
+            if areas[j] > 0:
+                exp[idm[i] == j + 1] = rank + 1
+                assert nval[i, rank] and ncls[i, rank] == cls[i, j]
+            else:
+                assert not nval[i, rank]
+        np.testing.assert_array_equal(nid[i], exp)

@@ -236,22 +236,28 @@ def mosaic4(img: jax.Array, idmap: jax.Array, cls: jax.Array, valid: jax.Array,
 
 def reduce_instances(idmap: jax.Array, cls: jax.Array, valid: jax.Array,
                      g_out: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Keep the g_out largest surviving instances; remap ids to 1..g_out."""
+    """Keep the g_out largest surviving instances; remap ids to 1..g_out.
+
+    Everything is compare-arithmetic on the lane axis — no scatter (the
+    remap-table build) and no wide gather (the per-pixel table lookup), both
+    of which lower terribly on TPU: the old scatter+gather form was 7.1 of
+    the 10.2 ms aug pipeline at b32/160 (tools/aug_bisect.py)."""
     b, s, _ = idmap.shape
     g_in = cls.shape[1]
-    ids = jnp.arange(1, g_in + 1)
-    areas = jnp.sum(idmap[:, None, :, :] == ids[None, :, None, None],
-                    axis=(2, 3)).astype(jnp.float32)         # (B, G_in)
+    ids = jnp.arange(1, g_in + 1, dtype=idmap.dtype)
+    # per-instance areas: one-hot compare with G_in on lanes, reduce pixels
+    areas = jnp.sum(idmap[..., None] == ids, axis=(1, 2),
+                    dtype=jnp.float32)                       # (B, G_in)
     areas = areas * valid.astype(jnp.float32)
     top_area, top_idx = jax.lax.top_k(areas, g_out)          # (B, g_out)
     new_valid = top_area > 0
     new_cls = jnp.take_along_axis(cls, top_idx, axis=1)
-    # remap: old id top_idx[b, j]+1 -> j+1
-    remap = jnp.zeros((b, g_in + 1), jnp.int32)
-    remap = jax.vmap(lambda r, ti, nv: r.at[ti + 1].set(
-        (jnp.arange(g_out) + 1) * nv))(remap, top_idx, new_valid.astype(jnp.int32))
-    new_idmap = jnp.take_along_axis(remap, idmap.reshape(b, -1),
-                                    axis=1).reshape(b, s, s)
+    # remap old id top_idx[b, j]+1 -> j+1: at most one of the g_out compares
+    # matches per pixel (ids are unique), so a weighted sum IS the lookup
+    sel = idmap[..., None] == (top_idx[:, None, None, :] + 1)  # (B,S,S,g_out)
+    w = (jnp.arange(1, g_out + 1, dtype=jnp.int32)
+         * new_valid.astype(jnp.int32))                       # (B, g_out)
+    new_idmap = jnp.sum(sel * w[:, None, None, :], axis=-1)
     return new_idmap, new_cls, new_valid
 
 
