@@ -103,34 +103,49 @@ def non_max_suppression(
     k = min(top_k, n)
 
     def single(p):
-        boxes = xywh2xyxy(p[:, :4])
+        # Work on the k surviving rows only: gathering/transforming all N
+        # rows and the (k, extra)-wide gathers were 7.1 of the 15.1 ms
+        # standalone NMS at b128/k1024 (tools/nms_bisect.py) — boxes are
+        # gathered at k, class/coef columns only at the final max_det rows.
         cls_scores = p[:, 4:4 + nc]
-        ex = p[:, 4 + nc:]
-        conf = jnp.max(cls_scores, axis=-1)
-        cls = jnp.argmax(cls_scores, axis=-1).astype(jnp.float32)
+        conf = cls_scores[:, 0] if nc == 1 else jnp.max(cls_scores, axis=-1)
         gate = conf > conf_thres
         score = jnp.where(gate, conf, -1.0)
         score_k, idx = jax.lax.top_k(score, k)
         valid = score_k > 0.0
-        boxes_k = boxes[idx]
-        cls_k = cls[idx]
-        ex_k = ex[idx]
-        off = jnp.zeros_like(cls_k) if agnostic else cls_k * max_wh
-        iou = box_iou(boxes_k + off[:, None], boxes_k + off[:, None])
+        boxes_k = xywh2xyxy(p[:, :4][idx])
+        if agnostic or nc == 1:   # class offset is identically zero
+            iou_boxes = boxes_k
+        else:
+            cls_k = jnp.argmax(cls_scores, axis=-1)[idx].astype(jnp.float32)
+            iou_boxes = boxes_k + (cls_k * max_wh)[:, None]
         if method == "matrix":
+            iou = box_iou(iou_boxes, iou_boxes)
             keep = _suppress_matrix(iou, valid, iou_thres)
         else:
-            keep = _suppress_greedy(iou, valid, iou_thres)
+            from .pallas_nms import pallas_nms_eligible, suppress_greedy_fused
+
+            if pallas_nms_eligible(k) and jax.default_backend() == "tpu":
+                # fused VMEM kernel, same keep-set (ops/pallas_nms.py)
+                keep = suppress_greedy_fused(iou_boxes, valid, iou_thres)
+            else:
+                iou = box_iou(iou_boxes, iou_boxes)
+                keep = _suppress_greedy(iou, valid, iou_thres)
         kept_score = jnp.where(keep, score_k, -1.0)
         md = min(max_det, k)
         final_score, sel = jax.lax.top_k(kept_score, md)
         fvalid = final_score > 0.0
         z = fvalid.astype(p.dtype)
+        orig = idx[sel]                      # (md,) rows in the original N
+        if nc == 1:
+            cls_f = jnp.zeros((md,), jnp.float32)
+        else:
+            cls_f = jnp.argmax(cls_scores, axis=-1)[orig].astype(jnp.float32)
         res = NMSResult(
             boxes=boxes_k[sel] * z[:, None],
             conf=jnp.where(fvalid, score_k[sel], 0.0),
-            cls=cls_k[sel] * z,
-            extra=ex_k[sel] * z[:, None],
+            cls=cls_f * z,
+            extra=p[:, 4 + nc:][orig] * z[:, None],
             valid=fvalid,
         )
         if md < max_det:
