@@ -27,6 +27,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-logits", action="store_true",
                    help="ablation: decoder without the logits bottleneck")
+    p.add_argument("--raw-objectmaps", action="store_true",
+                   help="train on raw-sigmoid objectmaps (matched eval "
+                        "conditioning) instead of the reference's z-scored "
+                        "maps — see CONDITIONING.md")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (the TPU mixed-precision mode; "
                         "replaces the reference's AMP GradScaler)")
@@ -51,7 +55,7 @@ def main(argv=None):
         image_size=args.imgsz, batch_size=args.batch, lr=args.lr,
         epochs=args.epochs, patience=args.patience,
         early_stopping_start=args.early_stopping_start, seed=args.seed,
-        run_dir=args.run_dir)
+        run_dir=args.run_dir, normalize_objectmap=not args.raw_objectmaps)
     trainer = DecoderTrainer(model, variables, args.data, cfg, mesh=mesh)
     history = trainer.train(resume_from=args.resume)
     save_model(f"{args.run_dir}/segpp_final.ckpt",

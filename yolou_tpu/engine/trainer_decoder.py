@@ -80,6 +80,12 @@ class DecoderTrainConfig:
     shuffle: bool = False               # reference quirk §2.4.4: fixed order
     run_dir: str = "runs"
     val_hd95: bool = True
+    # Reference quirk §2.4.2: training conditions the logits bottleneck with
+    # a per-image z-score before the sigmoid while evaluation feeds the raw
+    # sigmoid (dataset.py:88-97 vs evaluate_model.py:142-144). False trains
+    # on raw-sigmoid maps — the matched-conditioning "fix" arm quantified in
+    # CONDITIONING.md.
+    normalize_objectmap: bool = True
 
 
 class TrainState(NamedTuple):
@@ -178,7 +184,8 @@ class DecoderTrainer:
         cfg = self.cfg
         mk = lambda split: DecoderDataset(
             self.data_root, f"images/{split}", f"masks/{split}",
-            cfg.image_size, objectmap_path=f"objectmap/{split}")
+            cfg.image_size, objectmap_path=f"objectmap/{split}",
+            normalize_objectmap=cfg.normalize_objectmap)
         return mk("train"), mk("val")
 
     def train(self, resume_from: Optional[str] = None) -> Dict[str, list]:
