@@ -47,8 +47,21 @@ def test_fused_vmapped_and_dense_overlap():
 def test_eligibility_gate():
     assert pallas_nms_eligible(1024)
     assert pallas_nms_eligible(256)
-    assert not pallas_nms_eligible(300)    # unaligned -> XLA path
+    assert pallas_nms_eligible(300)        # unaligned -> padded inside
     assert not pallas_nms_eligible(4096)   # hit matrix past the VMEM budget
+
+
+@pytest.mark.parametrize("k", [100, 300, 525])
+def test_fused_unaligned_k_padding(k):
+    """Unaligned candidate counts (e.g. the 160-input eval surface's n=525)
+    are lane-padded inside the wrapper; pads are invalid and zero-area, so
+    the keep-set over the real rows is unchanged."""
+    rng = np.random.default_rng(k)
+    boxes = _random_boxes(rng, k, spread=40.0)
+    valid = jnp.asarray(rng.random(k) < 0.9)
+    ref = _suppress_greedy(box_iou(boxes, boxes), valid, 0.45)
+    got = suppress_greedy_fused(boxes, valid, 0.45, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
 def test_nms_entry_unchanged_off_tpu():

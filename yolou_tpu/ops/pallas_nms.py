@@ -36,15 +36,17 @@ _ROW_BLK = 256
 
 
 def pallas_nms_eligible(k: int) -> bool:
-    """Lane-aligned candidate counts with a VMEM-safe hit matrix (bf16 K² +
-    one (ROW_BLK,K) f32 working set well under the 16 MB scoped limit)."""
-    return k % 128 == 0 and _ROW_BLK <= k <= 2048
+    """VMEM-safe candidate counts (bf16 K'² hit matrix + one (ROW_BLK,K')
+    f32 working set under the 16 MB scoped limit after lane padding).
+    Unaligned k is padded up inside suppress_greedy_fused — padded entries
+    are invalid, have zero area, and can neither hit nor be kept."""
+    return 0 < k <= 2048
 
 
 def _nms_kernel(bs_ref, bl_ref, vc_ref, vl_ref, o_ref, hit_ref, *,
                 iou_thres: float, eps: float):
     k = bs_ref.shape[0]
-    rb = min(_ROW_BLK, k)
+    rb = _ROW_BLK if k % _ROW_BLK == 0 else 128   # k is always 128-aligned
     xj1 = bl_ref[0:1, :]
     yj1 = bl_ref[1:2, :]
     xj2 = bl_ref[2:3, :]
@@ -101,15 +103,18 @@ def suppress_greedy_fused(boxes: jax.Array, valid: jax.Array,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     k = boxes.shape[0]
+    kp = -(-k // 128) * 128                    # lane-pad; pads can't suppress
     bs = boxes.astype(jnp.float32)
-    bl = bs.T                                  # (4, K) lane-major twin
-    vc = valid.astype(jnp.float32)[:, None]    # (K, 1)
-    vl = valid.astype(jnp.float32)[None, :]    # (1, K)
+    vf = valid.astype(jnp.float32)
+    if kp != k:
+        bs = jnp.pad(bs, ((0, kp - k), (0, 0)))
+        vf = jnp.pad(vf, (0, kp - k))
+    bl = bs.T                                  # (4, K') lane-major twin
     out = pl.pallas_call(
         functools.partial(_nms_kernel, iou_thres=float(iou_thres), eps=1e-7),
-        out_shape=jax.ShapeDtypeStruct((1, k), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((k, k), jnp.bfloat16)] if _HAS_PLTPU
+        out_shape=jax.ShapeDtypeStruct((1, kp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((kp, kp), jnp.bfloat16)] if _HAS_PLTPU
         else [],
         interpret=interpret,
-    )(bs, bl, vc, vl)
-    return out[0] > 0.5
+    )(bs, bl, vf[:, None], vf[None, :])
+    return out[0, :k] > 0.5
