@@ -9,6 +9,8 @@ mapping is tested in tests/test_torch_golden.py.
 Examples:
   python -m yolou_tpu convert --pt best.pt --task segment --out best.ckpt
   python -m yolou_tpu convert --pt decoder.pt --kind segpp --out segpp.ckpt
+  # export TPU-finetuned weights BACK to the torch/ultralytics ecosystem:
+  python -m yolou_tpu convert --reverse --out best.ckpt --pt finetuned_sd.pt
 
 Note: the input must be a plain state_dict .pt (loaded weights_only — no
 pickle execution). An ultralytics runs/.../best.pt is a pickled Model object;
@@ -29,9 +31,19 @@ import jax.numpy as jnp
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="Convert a torch state_dict "
-                                "checkpoint to a yolou_tpu .ckpt.")
-    p.add_argument("--pt", required=True, help="torch .pt/.pth state_dict")
-    p.add_argument("--out", required=True, help="output .ckpt path")
+                                "checkpoint to a yolou_tpu .ckpt (or, with "
+                                "--reverse, a .ckpt back to a torch .pt).")
+    p.add_argument("--pt", required=True,
+                   help="torch .pt/.pth state_dict (input; with --reverse: "
+                        "the output path)")
+    p.add_argument("--out", required=True,
+                   help="output .ckpt path (with --reverse: the input .ckpt)")
+    p.add_argument("--reverse", action="store_true",
+                   help="export a yolou_tpu .ckpt AS a reference-style torch "
+                        "state_dict .pt (inverse bijection incl. layout and "
+                        "qkv permutation; synthesizes num_batches_tracked "
+                        "and dfl.conv.weight so the dict loads strict into "
+                        "the released ultralytics module tree)")
     p.add_argument("--arch", default="yolov12",
                    choices=["yolov12", "yolov8", "yolo11"])
     p.add_argument("--variant", default="n", choices=list("nsmlx"))
@@ -52,6 +64,22 @@ def main(argv=None):
 
     from ..tools.torch2jax import convert_state_dict, load_torch_state_dict
     from ..utils.model_io import save_model
+
+    if args.reverse:
+        from ..tools.torch2jax import (jax_to_torch_state_dict,
+                                       save_torch_state_dict)
+        from ..utils.checkpoint import load_checkpoint
+
+        blob = load_checkpoint(args.out)
+        meta = json.loads(blob["meta_json"])
+        kind = meta.get("kind", args.kind)
+        prefix_map = {"yolo.model": "encoder"} if kind == "segpp" else {}
+        if args.prefix_map:
+            prefix_map.update(json.loads(args.prefix_map))
+        sd = jax_to_torch_state_dict(blob["variables"], prefix_map=prefix_map)
+        save_torch_state_dict(args.pt, sd)
+        print(f"exported {len(sd)} tensors ({kind}) -> {args.pt}")
+        return {"exported": len(sd)}
 
     torch_sd = load_torch_state_dict(args.pt)
 

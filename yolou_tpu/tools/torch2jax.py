@@ -31,8 +31,11 @@ import numpy as np
 def _module_segment(seg: str) -> Optional[str]:
     """Translate one flax module-name segment to its torch dotted form.
     Returns None for wrapper segments that have no torch counterpart."""
-    if seg in ("dw", "c3", "detect"):
-        return None                      # structural wrappers on our side
+    if seg in ("dw", "c3", "detect", "decoder"):
+        # structural wrappers on our side: YOLOSegPP's "decoder" submodule
+        # wraps stages whose table entries below already carry the torch
+        # "decoder.{i}" / "output" prefixes (YOLOSegPlusPlus.py:156-183).
+        return None
     if seg.startswith("model_"):
         return f"model.{seg[6:]}"
     m = re.fullmatch(r"(cv[234])_(\d+)_(\d+)(?:_(\d+))?", seg)
@@ -237,6 +240,98 @@ def convert_state_dict(torch_sd: Dict[str, np.ndarray], template: Dict,
         raise KeyError(f"{len(missing)} template leaves unmatched; first: "
                        f"{missing[:5]}")
     return out, report
+
+
+# ------------------------------------------------------- reverse conversion
+
+def _to_torch_layout(flax_arr: np.ndarray, path: Tuple[str, ...]) -> np.ndarray:
+    """Inverse of _to_flax_layout for every leaf class this framework emits."""
+    a = np.asarray(flax_arr)
+    if a.ndim == 4:
+        if "upsample" in path:
+            # flax ConvTranspose (kh,kw,I,O), spatially flipped -> torch
+            # ConvTranspose2d (I,O,kh,kw) (see _to_flax_layout on why)
+            return np.ascontiguousarray(a[::-1, ::-1].transpose(2, 3, 0, 1))
+        return np.ascontiguousarray(a.transpose(3, 2, 0, 1))   # HWIO -> OIHW
+    if a.ndim == 3:
+        return np.ascontiguousarray(a.transpose(2, 1, 0))      # (k,1,1)->(1,1,k)
+    return a
+
+
+def jax_to_torch_state_dict(variables: Dict,
+                            prefix_map: Optional[Dict[str, str]] = None,
+                            include_aux: bool = True) -> Dict[str, np.ndarray]:
+    """Flax variables -> reference-style torch state_dict (numpy values).
+
+    Exact inverse of convert_state_dict — same name bijection
+    (flax_to_torch_name), inverse layout transposes (_to_torch_layout), and
+    the inverse AAttn qkv channel permutation (role-major thirds back to
+    ultralytics' head-major interleave) — so weights fine-tuned here load
+    back into the reference's torch ecosystem (train.py:563-564 loads plain
+    state_dicts). With include_aux it also synthesizes the released
+    checkpoints' non-learned keys: per-BN ``num_batches_tracked`` (0) and the
+    Detect head's fixed DFL projection (``arange(reg_max)``), making the
+    export key-for-key identical to the released listings pinned in
+    tests/fixtures/*_state_dict.txt.
+    """
+    prefix_map = prefix_map or {}
+    out: Dict[str, np.ndarray] = {}
+
+    inv_qkv = {}
+    if "params" in variables:
+        for path, leaf in _flatten(variables["params"]).items():
+            if (path[-4:-2] == ("attn", "qkv") and path[-2:] == ("conv", "kernel")
+                    and np.ndim(leaf) == 4
+                    and np.shape(leaf)[-1] == 3 * np.shape(leaf)[-2]):
+                # ours = theirs[perm]  =>  theirs = ours[argsort(perm)]
+                inv_qkv[path[:-2]] = np.argsort(
+                    aattn_qkv_permutation(np.shape(leaf)[-1]))
+
+    for coll in ("params", "batch_stats"):
+        if coll not in variables:
+            continue
+        for path, leaf in _flatten(variables[coll]).items():
+            arr = np.asarray(leaf)
+            if np.issubdtype(arr.dtype, np.floating):
+                arr = arr.astype(np.float32)
+            inv = inv_qkv.get(path[:-2]) if len(path) >= 2 else None
+            if inv is not None:
+                if arr.ndim == 4:                      # HWIO kernel: O axis
+                    arr = arr[..., inv]
+                elif arr.ndim == 1 and arr.shape[0] == inv.shape[0]:
+                    arr = arr[inv]                     # qkv BN params/stats
+            tname = flax_to_torch_name(path, coll)
+            for ours, theirs in prefix_map.items():
+                if tname.startswith(ours):
+                    tname = theirs + tname[len(ours):]
+                    break
+            if tname in out:
+                raise ValueError(f"duplicate torch name {tname} from {path}")
+            out[tname] = _to_torch_layout(arr, path)
+
+    if include_aux:
+        for name in list(out):
+            if name.endswith(".running_mean"):
+                out[name[:-len("running_mean")] + "num_batches_tracked"] = (
+                    np.zeros((), np.int64))
+        # Detect/Segment head: ultralytics registers DFL's fixed projection
+        # as a parameter; synthesize it next to the head's cv2 box branch.
+        for name, arr in list(out.items()):
+            m = re.fullmatch(r"(.*)\.cv2\.0\.2\.weight", name)
+            if m and arr.ndim == 4 and arr.shape[0] % 4 == 0:
+                reg_max = arr.shape[0] // 4
+                out[f"{m.group(1)}.dfl.conv.weight"] = (
+                    np.arange(reg_max, dtype=np.float32)
+                    .reshape(1, reg_max, 1, 1))
+    return out
+
+
+def save_torch_state_dict(path: str, sd: Dict[str, np.ndarray]) -> None:
+    """Write a numpy state_dict as a plain torch .pt (tensor values only)."""
+    import torch
+
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, path)
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
