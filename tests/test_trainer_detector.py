@@ -147,6 +147,47 @@ def test_mesh_vs_single_device_step_equivalence(root):
                                    rtol=1e-3, atol=5e-5)
 
 
+def test_flat_opt_matches_optax_chain():
+    """engine/flat_opt.py runs make_detector_tx's math as ~15 full-width
+    vector ops; pin multi-step parity against the optax chain through the
+    warmup region (per-step lr/momentum schedules), with the global-norm clip
+    both active and inactive, plus the non-finite skip semantics."""
+    import jax.numpy as jnp
+    import optax
+    from yolou_tpu.engine.flat_opt import make_flat_detector_opt
+    from yolou_tpu.engine.trainer_detector import make_detector_tx
+
+    cfg = DetectorTrainConfig(epochs=4, warmup_epochs=1.0, lr0=0.01,
+                              clip_grad_norm=10.0, weight_decay=5e-4)
+    params = {"conv": {"kernel": jnp.linspace(-1, 1, 12).reshape(3, 4),
+                       "bias": jnp.ones(4) * 0.1},
+              "bn": {"scale": jnp.full(4, 0.9), "bias": jnp.zeros(4)}}
+    tx, _, _, _ = make_detector_tx(cfg, steps_per_epoch=3)
+    flat = make_flat_detector_opt(cfg, 3, params)
+
+    opt = tx.init(params)
+    p_ref = params
+    pflat = flat.ravel(params)
+    fopt = flat.init(pflat)
+    rng = np.random.default_rng(7)
+    for i in range(6):
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.normal(0, 10.0 if i == 2 else 0.5,
+                                             p.shape), jnp.float32), p_ref)
+        if i == 4:  # non-finite step: both sides must skip it identically
+            grads["conv"]["kernel"] = grads["conv"]["kernel"].at[0, 0].set(
+                jnp.nan)
+        updates, opt = tx.update(grads, opt, p_ref)
+        p_ref = optax.apply_updates(p_ref, updates)
+        pflat, fopt = flat.update(grads, fopt, pflat)
+        got = flat.unravel(pflat)
+        for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                        jax.tree_util.tree_leaves(got)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-5, atol=1e-7)
+    assert int(fopt.count) == 5  # the nan step didn't advance the schedule
+
+
 def test_epoch_index_batches_keeps_remainder():
     """VERDICT r2 weak #6: a 65-image dataset at batch 16 must train on all
     65 images per epoch (reference DataLoader keeps the partial batch); the

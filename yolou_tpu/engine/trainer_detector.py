@@ -62,6 +62,11 @@ class DetectorTrainConfig:
     run_dir: str = "runs_detector"
     optimizer: str = "sgd"          # "sgd" (ultralytics auto default) | "adamw"
     val_every: int = 0              # eval-during-train: mAP on val every N epochs (0 = off)
+    flat_opt: bool = True           # SGD path as one flat-vector update
+    #   (engine/flat_opt.py): exact make_detector_tx math without the ~386
+    #   per-leaf ops of the optax chain + EMA lerp. Checkpoints then store
+    #   ema_params / momentum as flat f32 vectors — resume of a pre-flat
+    #   checkpoint needs flat_opt=False. AdamW always uses the optax chain.
 
 
 def make_detector_tx(cfg: "DetectorTrainConfig", steps_per_epoch: int):
@@ -166,6 +171,7 @@ class DetectorTrainer:
         self.data_cfg = data_cfg
         self.mesh = mesh
         self.state: Optional[DetTrainState] = None
+        self._flat = None
         self._variables = variables
         self.history: Dict[str, list] = {"loss": [], "box": [], "cls": [],
                                          "dfl": [], "seg": [], "lr": []}
@@ -185,11 +191,22 @@ class DetectorTrainer:
         tx = self._make_tx(steps_per_epoch)
         self.tx = tx
         params = dict(self._variables["params"])
+        self._flat = None
+        if self.cfg.flat_opt and self.cfg.optimizer == "sgd":
+            from .flat_opt import make_flat_detector_opt
+            self._flat = make_flat_detector_opt(self.cfg, steps_per_epoch,
+                                                params)
+        if self._flat is not None:
+            ema0 = self._flat.ravel(params)
+            opt0 = self._flat.init(ema0)
+        else:
+            ema0 = jax.tree_util.tree_map(jnp.copy, params)
+            opt0 = tx.init(params)
         self.state = DetTrainState(
             params=params,
             batch_stats=self._variables["batch_stats"],
-            ema_params=jax.tree_util.tree_map(jnp.copy, params),
-            opt_state=tx.init(params),
+            ema_params=ema0,
+            opt_state=opt0,
             step=jnp.zeros((), jnp.int32),
         )
         self._build_step()
@@ -222,15 +239,22 @@ class DetectorTrainer:
 
             (loss, (parts, new_bs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
-            updates, new_opt = self.tx.update(grads, state.opt_state,
-                                              state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            # EMA with ramping decay
             step = state.step + 1
             d = cfg.ema_decay * (1 - jnp.exp(-step / cfg.ema_tau))
-            new_ema = jax.tree_util.tree_map(
-                lambda e, p: e * d + p.astype(e.dtype) * (1 - d),
-                state.ema_params, new_params)
+            if self._flat is not None:
+                pflat = self._flat.ravel(state.params)
+                new_pflat, new_opt = self._flat.update(grads,
+                                                       state.opt_state, pflat)
+                new_params = self._flat.unravel(new_pflat)
+                new_ema = state.ema_params * d + new_pflat * (1 - d)
+            else:
+                updates, new_opt = self.tx.update(grads, state.opt_state,
+                                                  state.params)
+                new_params = optax.apply_updates(state.params, updates)
+                # EMA with ramping decay
+                new_ema = jax.tree_util.tree_map(
+                    lambda e, p: e * d + p.astype(e.dtype) * (1 - d),
+                    state.ema_params, new_params)
             new_state = DetTrainState(new_params, new_bs, new_ema, new_opt, step)
             return new_state, loss, parts
 
@@ -339,5 +363,8 @@ class DetectorTrainer:
         return self.history
 
     def ema_variables(self) -> Dict:
-        return {"params": self.state.ema_params,
+        ema = self.state.ema_params
+        if self._flat is not None:
+            ema = self._flat.unravel(ema)
+        return {"params": ema,
                 "batch_stats": self.state.batch_stats}
