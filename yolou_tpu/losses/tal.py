@@ -51,21 +51,28 @@ def task_aligned_assign(
     rb = gt_bboxes[:, :, None, 2:] - anchor_points[None, None, :, :]
     mask_in_gts = jnp.min(jnp.concatenate([lt, rb], -1), -1) > eps  # (B,G,A)
 
-    # 2. alignment metric
+    # 2. alignment metric — scores and overlaps are computed (nonzero) ONLY
+    # inside the candidate gate, exactly like ultralytics get_box_metrics
+    # (bbox_scores[mask_gt] = ...; overlaps[mask_gt] = ...): the gated
+    # overlaps feed BOTH the align metric and the step-4 collision argmax.
+    gate = mask_in_gts & mask_gt[:, :, None]
     overlaps = jnp.clip(
         bbox_iou_aligned(gt_bboxes[:, :, None, :], pred_bboxes[:, None, :, :],
                          ciou=True), 0, None)                       # (B,G,A)
+    overlaps = jnp.where(gate, overlaps, 0.0)
     labels = jnp.clip(gt_labels, 0, nc - 1)
     scores_for_gt = jnp.take_along_axis(
         pred_scores.transpose(0, 2, 1), labels[:, :, None], axis=1)  # (B,G,A)
-    align = scores_for_gt ** alpha * overlaps ** beta
-    gate = mask_in_gts & mask_gt[:, :, None]
-    align = jnp.where(gate, align, 0.0)
+    align = jnp.where(gate, scores_for_gt ** alpha * overlaps ** beta, 0.0)
 
-    # 3. top-k per GT -> candidate mask
+    # 3. top-k per GT -> candidate mask. Ultralytics select_topk_candidates
+    # keeps EVERY top-k pick of a valid GT row (topk_mask = mask_gt expanded
+    # — zero-metric picks included; they are filtered by mask_in_gts below,
+    # but an in-box anchor whose CIoU clamps to 0 still assigns), and zeroes
+    # anchors counted more than once within a row.
     k = min(topk, a)
-    topk_vals, topk_idx = jax.lax.top_k(align, k)                    # (B,G,k)
-    topk_valid = (topk_vals > eps).astype(jnp.float32)
+    _, topk_idx = jax.lax.top_k(align, k)                            # (B,G,k)
+    topk_valid = jnp.broadcast_to(mask_gt_f[:, :, None], topk_idx.shape)
 
     def scatter_row(idx, val):
         return jnp.zeros((a,), jnp.float32).at[idx].add(val)

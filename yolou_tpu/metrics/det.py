@@ -2,8 +2,9 @@
 
 The reference's detector stage inherits its validator from Ultralytics
 (BaseTrainer eval-during-train, SURVEY.md §2.2); this module owns that
-capability: confidence-sorted greedy matching at 10 IoU thresholds and
-continuous-interpolation average precision.
+capability: IoU-sorted unique matching at 10 IoU thresholds (exact
+BaseValidator.match_predictions semantics) and continuous-interpolation
+average precision.
 """
 
 from __future__ import annotations
@@ -30,20 +31,31 @@ def box_iou_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def match_predictions(pred_boxes: np.ndarray, pred_cls: np.ndarray,
                       gt_boxes: np.ndarray, gt_cls: np.ndarray) -> np.ndarray:
-    """TP matrix (n_pred, len(IOUV)): greedy one-match-per-GT, class-aware.
-    Predictions must be sorted by descending confidence."""
+    """TP matrix (n_pred, len(IOUV)), ultralytics validator semantics.
+
+    BaseValidator.match_predictions (inherited by the reference's detector
+    stage, SURVEY.md §2.2): class-gated (gt, pred) IoU; per threshold, all
+    pairs with IoU >= t are sorted by IoU descending, then deduplicated to
+    one match per PRED (first = highest IoU) and then one match per GT
+    (first occurrence in the resulting pred-index order — the exact
+    np.unique(return_index) quirk, replicated). Golden-pinned against a
+    torch transcription in tests/test_torch_golden.py."""
     tp = np.zeros((len(pred_boxes), len(IOUV)), bool)
     if len(gt_boxes) == 0 or len(pred_boxes) == 0:
         return tp
-    iou = box_iou_np(pred_boxes, gt_boxes)
-    iou = iou * (pred_cls[:, None] == gt_cls[None, :])
+    iou = box_iou_np(gt_boxes, pred_boxes)             # (n_gt, n_pred)
+    iou = iou * (gt_cls[:, None] == pred_cls[None, :])
     for ti, t in enumerate(IOUV):
-        taken = np.zeros(len(gt_boxes), bool)
-        for pi in range(len(pred_boxes)):
-            j = int(np.argmax(iou[pi] * ~taken))
-            if iou[pi, j] >= t and not taken[j]:
-                tp[pi, ti] = True
-                taken[j] = True
+        matches = np.array(np.nonzero(iou >= t)).T     # (n_pairs, 2) gt,pred
+        if matches.shape[0]:
+            if matches.shape[0] > 1:
+                matches = matches[
+                    iou[matches[:, 0], matches[:, 1]].argsort()[::-1]]
+                matches = matches[
+                    np.unique(matches[:, 1], return_index=True)[1]]
+                matches = matches[
+                    np.unique(matches[:, 0], return_index=True)[1]]
+            tp[matches[:, 1].astype(int), ti] = True
     return tp
 
 
