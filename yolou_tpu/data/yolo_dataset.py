@@ -79,6 +79,7 @@ class YoloSegDataset:
         self._img_cache: Dict[int, np.ndarray] = {}
         self._mask_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
         self._shape_cache: Dict[int, Tuple[int, int]] = {}
+        self._idmap_cache: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
     def _cache_path(self) -> str:
         return os.path.join(self.img_dir, ".labels.cache.npz")
@@ -184,6 +185,34 @@ class YoloSegDataset:
         masks, cls = self.rasterize_instances(i)
         return {"img": img, "masks": masks, "cls": cls,
                 "path": self.files[i]}
+
+    def item_idmap(self, i: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Overlap-encoded instance id map for image i, cached.
+
+        Returns (idmap (S,S) uint8|int32, cls (n,) i32, valid (n,) bool) with
+        instances ordered largest-area-first so smaller instances overwrite
+        (ultralytics overlap_mask ordering — same encoding collate_idmap
+        produces, but computed ONCE per image: the per-instance boolean-mask
+        rasterization was ~half the detector trainer's host collate cost)."""
+        if self.cache_images and i in self._idmap_cache:
+            return self._idmap_cache[i]
+        masks, cls = self.rasterize_instances(i)
+        n = len(cls)
+        s = self.imgsz
+        idmap = np.zeros((s, s), np.uint8 if n < 255 else np.int32)
+        ocls = np.zeros((n,), np.int32)
+        ovalid = np.zeros((n,), bool)
+        if n:
+            areas = masks.reshape(n, -1).sum(-1)
+            order = np.argsort(-areas)
+            for slot, j in enumerate(order):
+                idmap[masks[j] > 0] = slot + 1
+                ocls[slot] = cls[j]
+                ovalid[slot] = areas[j] > 0
+        out = (idmap, ocls, ovalid)
+        if self.cache_images:
+            self._idmap_cache[i] = out
+        return out
 
     def item_rect(self, i: int, out_hw: Tuple[int, int]) -> Dict[str, np.ndarray]:
         """Aspect-preserving letterboxed item at a rect-group shape
@@ -299,6 +328,35 @@ def collate_idmap(items: List[Dict[str, np.ndarray]], max_inst: int) -> Dict[str
             idmap[i][m[j] > 0] = slot + 1
             cls[i, slot] = it["cls"][j]
             valid[i, slot] = areas[j] > 0
+    return {"img": imgs, "idmap": idmap, "cls": cls, "valid": valid}
+
+
+def collate_idmap_cached(ds: YoloSegDataset, sel,
+                         max_inst: int) -> Dict[str, np.ndarray]:
+    """collate_idmap over dataset indices via the per-image caches.
+
+    The hot path is pure memcpy stacking (image + precomputed idmap); the id
+    map ships as uint8 when max_inst allows (4x less host->device traffic —
+    the jitted train step casts to int32 on device for free). Semantically
+    identical to `collate_idmap([ds.item(j) for j in sel], max_inst)`."""
+    b = len(sel)
+    s = ds.imgsz
+    u8 = max_inst < 256
+    imgs = np.empty((b, s, s, ds.channels), np.uint8)
+    idmap = np.zeros((b, s, s), np.uint8 if u8 else np.int32)
+    cls = np.zeros((b, max_inst), np.int32)
+    valid = np.zeros((b, max_inst), bool)
+    for i, j in enumerate(sel):
+        j = int(j)
+        imgs[i] = ds.load_image(j)
+        im, c, v = ds.item_idmap(j)
+        n = len(c)
+        if n > max_inst:  # zero slots beyond the instance budget
+            im = np.where(im <= max_inst, im, 0)
+            n = max_inst
+        idmap[i] = im
+        cls[i, :n] = c[:n]
+        valid[i, :n] = v[:n]
     return {"img": imgs, "idmap": idmap, "cls": cls, "valid": valid}
 
 

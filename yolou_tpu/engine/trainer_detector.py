@@ -30,7 +30,7 @@ import numpy as np
 import optax
 
 from ..data.augment import AugHyp, augment_batch
-from ..data.yolo_dataset import YoloSegDataset, collate_idmap
+from ..data.yolo_dataset import YoloSegDataset, collate_idmap_cached
 from ..data.decoder_dataset import prefetch
 from ..losses.v8 import LossHyp, v8_loss
 from ..models.yolo import YOLOModel
@@ -65,8 +65,9 @@ class DetectorTrainConfig:
     flat_opt: bool = True           # SGD path as one flat-vector update
     #   (engine/flat_opt.py): exact make_detector_tx math without the ~386
     #   per-leaf ops of the optax chain + EMA lerp. Checkpoints then store
-    #   ema_params / momentum as flat f32 vectors — resume of a pre-flat
-    #   checkpoint needs flat_opt=False. AdamW always uses the optax chain.
+    #   ema_params / momentum as flat f32 vectors; `load_resume` detects and
+    #   converts the other format (momentum/opt state reinitialized with a
+    #   printed notice). AdamW always uses the optax chain.
 
 
 def make_detector_tx(cfg: "DetectorTrainConfig", steps_per_epoch: int):
@@ -175,6 +176,7 @@ class DetectorTrainer:
         self._variables = variables
         self.history: Dict[str, list] = {"loss": [], "box": [], "cls": [],
                                          "dfl": [], "seg": [], "lr": []}
+        self.epoch_times: list = []     # wall seconds per train epoch (no val)
 
     # ------------------------------------------------------------------ setup
     def _make_tx(self, steps_per_epoch: int):
@@ -220,6 +222,9 @@ class DetectorTrainer:
         def step_fn(state: DetTrainState, img_u8, idmap, cls, valid, key,
                     use_mosaic: bool):
             img = img_u8.astype(jnp.float32) / 255.0
+            # the loader ships uint8 id maps (4x less tunnel traffic); the
+            # augmentation arithmetic (mosaic slot offsets) needs int32
+            idmap = idmap.astype(jnp.int32)
             batch = augment_batch(img, idmap, cls, valid, key, self.aug,
                                   g_out=cfg.max_instances,
                                   mask_ratio=cfg.mask_ratio,
@@ -284,9 +289,7 @@ class DetectorTrainer:
 
         start_epoch = 0
         if resume_from:
-            ck = load_checkpoint(resume_from,
-                                 jax.device_get(self.state._asdict()))
-            self.state = DetTrainState(**ck)
+            self.load_resume(resume_from)
             start_epoch = int(self.state.step) // steps_per_epoch
 
         if self.mesh is not None:
@@ -301,10 +304,18 @@ class DetectorTrainer:
             nb = 0
 
             def batch_iter():
+                # collate from the per-image idmap cache AND stage the
+                # host->device transfer here: under `prefetch` this whole
+                # body runs on the worker thread, so collate + tunnel upload
+                # overlap the previous step's device compute
                 idx = np.random.default_rng(cfg.seed + epoch).permutation(len(ds))
                 for sel in epoch_index_batches(idx, cfg.batch_size):
-                    items = [ds.item(int(j)) for j in sel]
-                    yield collate_idmap(items, cfg.max_instances)
+                    cb = collate_idmap_cached(ds, sel, cfg.max_instances)
+                    args = (jnp.asarray(cb["img"]), jnp.asarray(cb["idmap"]),
+                            jnp.asarray(cb["cls"]), jnp.asarray(cb["valid"]))
+                    if self.mesh is not None:
+                        args = meshlib.shard_batch(self.mesh, args)
+                    yield args
 
             pipe = ScalarPipeline(depth=2)
 
@@ -314,12 +325,8 @@ class DetectorTrainer:
                 for k in ("box", "cls", "dfl", "seg"):
                     ep[k] += float(parts[k])
 
-            for cb in prefetch(batch_iter()):
+            for args in prefetch(batch_iter(), depth=3):
                 key, sub = jax.random.split(key)
-                args = (jnp.asarray(cb["img"]), jnp.asarray(cb["idmap"]),
-                        jnp.asarray(cb["cls"]), jnp.asarray(cb["valid"]))
-                if self.mesh is not None:
-                    args = meshlib.shard_batch(self.mesh, args)
                 self.state, loss, parts = self._step[mosaic_on](
                     self.state, *args, sub)
                 # pipelined fetch: materialise step k-1's scalars only after
@@ -331,12 +338,18 @@ class DetectorTrainer:
             for got in pipe.drain():
                 _acc(got)
 
+            self.epoch_times.append(time.time() - t0)
             for k in ep:
                 self.history[k].append(ep[k] / max(nb, 1))
             self.history["lr"].append(float(self._lr_fn(self.state.step)))
             msg = (f"epoch {epoch + 1}/{cfg.epochs} "
                    + " ".join(f"{k}={ep[k] / max(nb, 1):.4f}" for k in ep)
                    + f" [{time.time() - t0:.1f}s, mosaic={mosaic_on}]")
+            nf = self.notfinite_count()
+            if nf:
+                # surfaced so a stuck (permanently-NaN) run is detectable
+                # before the 100-step apply-anyway failure fires
+                msg += f" | WARN: {nf} consecutive non-finite steps skipped"
             if cfg.val_every and (epoch + 1) % cfg.val_every == 0:
                 from .validator import validate_detector
                 vm = validate_detector(
@@ -361,6 +374,63 @@ class DetectorTrainer:
             save_checkpoint(os.path.join(run_dir, "weights", "last.ckpt"),
                             jax.device_get(self.state._asdict()))
         return self.history
+
+    def notfinite_count(self) -> int:
+        """Consecutive non-finite (skipped) optimizer steps — 0 when healthy.
+        Works for both the flat-opt state and optax.apply_if_finite."""
+        if self.state is None:
+            return 0
+        os_ = self.state.opt_state
+        if self._flat is not None:
+            return int(jax.device_get(os_.notfinite))
+        if hasattr(os_, "notfinite_count"):
+            return int(jax.device_get(os_.notfinite_count))
+        return 0
+
+    def load_resume(self, path: str) -> None:
+        """Restore a checkpoint into this trainer, converting between the
+        flat-vector (flat_opt=True) and tree-form optimizer formats when they
+        differ — instead of the opaque flax structure-mismatch traceback a
+        naive from_state_dict raises (r3 stored ema_params/momentum as flat
+        f32 vectors; pre-r3 checkpoints store trees)."""
+        from flax import serialization
+
+        raw = load_checkpoint(path)          # raw nested state dict
+        ck_flat = not isinstance(raw["ema_params"], dict)
+        tr_flat = self._flat is not None
+        if ck_flat == tr_flat:               # formats match: plain restore
+            ck = load_checkpoint(path, jax.device_get(self.state._asdict()))
+            self.state = DetTrainState(**ck)
+            return
+        host = jax.device_get(self.state)
+        params = serialization.from_state_dict(host.params, raw["params"])
+        bs = serialization.from_state_dict(host.batch_stats,
+                                           raw["batch_stats"])
+        step = jnp.asarray(np.asarray(raw["step"]), jnp.int32)
+        if tr_flat:   # tree-form checkpoint -> flat trainer
+            from .flat_opt import FlatOptState
+            ema_tree = serialization.from_state_dict(host.params,
+                                                     raw["ema_params"])
+            ema = self._flat.ravel(ema_tree)
+            opt = FlatOptState(count=step, mu=jnp.zeros_like(ema),
+                               notfinite=jnp.zeros((), jnp.int32))
+            print(f"resume: converted tree-form checkpoint {path!r} to the "
+                  f"flat-opt format (momentum trace reinitialized; schedule "
+                  f"clock restored from step={int(step)})")
+        else:         # flat checkpoint -> tree-form trainer
+            from jax.flatten_util import ravel_pytree
+            _, unravel = ravel_pytree(host.params)
+            ema_tree = unravel(jnp.asarray(np.asarray(raw["ema_params"]),
+                                           jnp.float32))
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e.astype(jnp.asarray(p).dtype), ema_tree,
+                host.params)
+            opt = self.tx.init(params)
+            print(f"resume: converted flat-opt checkpoint {path!r} to the "
+                  f"tree format (optimizer state reinitialized — warmup "
+                  f"schedules restart; pass flat_opt=True to resume exactly)")
+        self.state = DetTrainState(params=params, batch_stats=bs,
+                                   ema_params=ema, opt_state=opt, step=step)
 
     def ema_variables(self) -> Dict:
         ema = self.state.ema_params
