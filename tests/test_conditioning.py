@@ -51,12 +51,17 @@ def triplet_root(tmp_path):
 
 
 def test_train_path_is_zscore_then_sigmoid(triplet_root):
-    """dataset.py:88-97 semantics: sigmoid((om - mean) / std)."""
+    """dataset.py:88-97 semantics: sigmoid((om - mean) / std), with the
+    UNBIASED torch.Tensor.std() divisor (ddof=1, dataset.py:90)."""
     root, om = triplet_root
     ds = DecoderDataset(root, "images/train", "masks/train", 160,
                         objectmap_path="objectmaps/train")
     _, _, got = ds[0]
-    want = 1.0 / (1.0 + np.exp(-(om - om.mean()) / om.std()))
+    import torch
+    t = torch.from_numpy(om)
+    want_t = torch.sigmoid((t - t.mean()) / t.std()).numpy()
+    np.testing.assert_allclose(got[..., 0], want_t, rtol=1e-6)
+    want = 1.0 / (1.0 + np.exp(-(om - om.mean()) / om.std(ddof=1)))
     np.testing.assert_allclose(got[..., 0], want, rtol=1e-6)
     # the z-score recenters: conditioned map must straddle 0.5 even though
     # every raw logit is far negative

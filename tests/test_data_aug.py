@@ -13,7 +13,7 @@ from yolou_tpu.data.augment import (AugHyp, augment_batch, boxes_from_idmap,
 from yolou_tpu.data.config import load_data_yaml
 from yolou_tpu.data.decoder_dataset import DecoderDataset, prefetch
 from yolou_tpu.data.yolo_dataset import (YoloSegDataset, collate_idmap,
-                                         collate_padded)
+                                         collate_idmap_cached, collate_padded)
 
 
 @pytest.fixture(scope="module")
@@ -68,6 +68,46 @@ def test_yolo_dataset_and_collates(dataset_root):
     ds2 = YoloSegDataset(os.path.join(dataset_root, "images", "train"),
                          imgsz=160, channels=4)
     assert len(ds2.labels) == len(ds.labels)
+
+
+def test_collate_idmap_cached_matches_item_path(dataset_root):
+    """collate_idmap_cached (the detector trainer hot path, r4) must equal
+    collate_idmap over ds.item() exactly — same overlap encoding, ordering,
+    cls/valid slots — just uint8 and from the per-image cache."""
+    ds = YoloSegDataset(os.path.join(dataset_root, "images", "train"),
+                        imgsz=160, channels=4, cache_images=True)
+    sel = [0, 1, 2, 3]
+    ref = collate_idmap([ds.item(i) for i in sel], max_inst=8)
+    for _ in range(2):  # second pass exercises the warm cache
+        got = collate_idmap_cached(ds, sel, max_inst=8)
+        assert got["idmap"].dtype == np.uint8
+        np.testing.assert_array_equal(got["img"], ref["img"])
+        np.testing.assert_array_equal(got["idmap"].astype(np.int32),
+                                      ref["idmap"])
+        np.testing.assert_array_equal(got["cls"], ref["cls"])
+        np.testing.assert_array_equal(got["valid"], ref["valid"])
+    # instance-budget clipping: slots beyond max_inst are zeroed
+    small = collate_idmap_cached(ds, sel, max_inst=1)
+    assert small["idmap"].max() <= 1 and small["cls"].shape == (4, 1)
+
+
+def test_decoder_dataset_u8_batches_bit_exact(dataset_root):
+    """batches(u8=True) + on-device /255 must reproduce the f32 host path
+    bit-exactly (resize runs on uint8 in both, as in the reference)."""
+    names = [os.path.splitext(f)[0] for f in
+             sorted(os.listdir(os.path.join(dataset_root, "images", "val")))]
+    synthetic.write_objectmaps(
+        dataset_root,
+        {n: np.random.randn(20, 20).astype(np.float32) for n in names}, "val")
+    ds = DecoderDataset(dataset_root, "images/val", "masks/val", 160,
+                        objectmap_path="objectmap/val")
+    f32 = next(iter(ds.batches(batch_size=3)))
+    u8 = next(iter(ds.batches(batch_size=3, u8=True)))
+    assert u8[0].dtype == np.uint8 and u8[1].dtype == np.uint8
+    np.testing.assert_array_equal(u8[0].astype(np.float32) / 255.0, f32[0])
+    np.testing.assert_array_equal(u8[1].astype(np.float32) / 255.0, f32[1])
+    np.testing.assert_array_equal(u8[2], f32[2])
+    assert u8[3] == f32[3]
 
 
 def test_boxes_from_idmap_exact():

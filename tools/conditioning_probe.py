@@ -32,7 +32,7 @@ def sigmoid(x):
 
 
 def conditionings(om):
-    mu, sd = om.mean(), om.std()
+    mu, sd = om.mean(), om.std(ddof=1)  # torch.std is unbiased (dataset.py:90)
     train = sigmoid((om - mu) / sd if sd > 0 else om - mu)
     ev = sigmoid(om)
     return train, ev

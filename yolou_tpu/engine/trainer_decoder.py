@@ -108,6 +108,7 @@ class DecoderTrainer:
                             "val_dice_metric", "val_hd95_metric",
                             "val_precision", "val_recall")}
 
+        self.epoch_times: list = []     # wall seconds per train phase (no val)
         self._params0 = (unfreeze(variables["params"])
                          if hasattr(variables["params"], "unfreeze")
                          else dict(variables["params"]))
@@ -143,7 +144,15 @@ class DecoderTrainer:
     def _build_steps(self):
         model = self.model
 
+        def to_unit(x):
+            # batches ship as uint8 (4x less tunnel traffic); /255 on device
+            # is bit-exact vs the host f32 path (DecoderDataset.item_u8)
+            return (x.astype(jnp.float32) / 255.0
+                    if x.dtype == jnp.uint8 else x)
+
         def train_step(state: TrainState, img, mask, om):
+            img, mask = to_unit(img), to_unit(mask)
+
             def loss_fn(params):
                 (pred, _), updates = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
@@ -162,12 +171,18 @@ class DecoderTrainer:
             return new_state, loss, dice
 
         def eval_step(state: TrainState, img, mask, om, n_real):
+            img, mask = to_unit(img), to_unit(mask)
             (pred, _) = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 img, logits=om, train=False)
-            loss = soft_dice_loss(pred, mask)
+            sample_mask = (jnp.arange(img.shape[0]) < n_real).astype(jnp.float32)
+            # wrap-padded rows must not contribute to the global (batch=True)
+            # Dice reduction: zeroing pred-probability AND target per padded
+            # row makes the sums identical to excluding those rows outright
+            row = sample_mask[:, None, None, None]
+            probs = jax.nn.sigmoid(pred.astype(jnp.float32)) * row
+            loss = soft_dice_loss(probs, mask * row, sigmoid=False)
             pred_bin = (jax.nn.sigmoid(pred) > 0.5).astype(jnp.float32)
-            sample_mask = jnp.arange(img.shape[0]) < n_real
             dice = dice_binary(pred_bin[..., 0], mask[..., 0])
             tp, fp, fn = precision_recall_counts(
                 pred_bin[..., 0] * sample_mask[:, None, None],
@@ -219,8 +234,6 @@ class DecoderTrainer:
             t0 = time.time()
             tr_loss = tr_dice = 0.0
             nb = 0
-            it = train_ds.batches(cfg.batch_size, shuffle=cfg.shuffle,
-                                  seed=cfg.seed + epoch)
             pipe = ScalarPipeline(depth=2)
             nan_hit = False
 
@@ -232,10 +245,21 @@ class DecoderTrainer:
                 tr_loss += lf
                 tr_dice += float(got[1])
 
-            for imgs, masks, oms, n_real in prefetch(it):
-                batch = (imgs, masks, oms)
-                if self.mesh is not None:
-                    batch = meshlib.shard_batch(self.mesh, batch)
+            def staged_iter():
+                # uint8 batches from the RAM cache, with the host->device
+                # transfer staged HERE: under `prefetch` this runs on the
+                # worker thread, overlapping upload with device compute
+                it = train_ds.batches(cfg.batch_size, shuffle=cfg.shuffle,
+                                      seed=cfg.seed + epoch, u8=True)
+                for imgs, masks, oms, _n in it:
+                    batch = (imgs, masks, oms)
+                    if self.mesh is not None:
+                        batch = meshlib.shard_batch(self.mesh, batch)
+                    else:
+                        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+                    yield batch
+
+            for batch in prefetch(staged_iter(), depth=3):
                 self.state, loss, dice = self._train_step(self.state, *batch)
                 # pipelined fetch (one step delayed) keeps the device busy
                 # while the host stages the next batch; the NaN abort below
@@ -254,9 +278,10 @@ class DecoderTrainer:
             tr_loss /= max(nb, 1)
             tr_dice /= max(nb, 1)
             t1 = time.time()
+            self.epoch_times.append(t1 - t0)
 
             # -------- validate
-            va_loss = va_prec = va_rec = 0.0
+            va_loss = tp_sum = fp_sum = fn_sum = 0.0
             dices, hd95s = [], []
             nb = 0
             for imgs, masks, oms, n_real in prefetch(
@@ -268,15 +293,20 @@ class DecoderTrainer:
                     self.state, *batch, n_real)
                 va_loss += float(loss)
                 dices.append(np.asarray(dice)[:n_real])
-                va_prec += float(tp / (tp + fp + 1e-6))
-                va_rec += float(tp / (tp + fn + 1e-6))
+                # precision/recall pooled over the split (one ratio from the
+                # summed pixel counts — like the Evaluator; the reference's
+                # per-batch-mean form, train.py:388-403, is batch-size
+                # dependent and double-counts wrap-padded tail rows)
+                tp_sum += float(tp)
+                fp_sum += float(fp)
+                fn_sum += float(fn)
                 if cfg.val_hd95:
                     hd = np.asarray(self._hd95(pred_bin[..., 0], masks[..., 0]))
                     hd95s.append(hd[:n_real])
                 nb += 1
             va_loss /= max(nb, 1)
-            va_prec /= max(nb, 1)
-            va_rec /= max(nb, 1)
+            va_prec = tp_sum / (tp_sum + fp_sum + 1e-6)
+            va_rec = tp_sum / (tp_sum + fn_sum + 1e-6)
             va_dice = float(np.mean(np.concatenate(dices))) if dices else 0.0
             hd_all = np.concatenate(hd95s) if hd95s else np.asarray([np.nan])
             va_hd95 = float(np.nanmean(hd_all)) if np.any(~np.isnan(hd_all)) else float("nan")
