@@ -181,6 +181,27 @@ def test_source_router_stream_screenshot_heic(tmp_path):
     except RuntimeError as e:
         assert "screenshot" in str(e)
 
+    # webcam index: int and digit-string both route to the camera loader
+    # (custom_load_inference_source.py:34-49); dispatch verified by
+    # monkeypatch, and the real gate errors informatively headless
+    cam_calls = []
+    orig_cam = P._read_webcam_frames
+    P._read_webcam_frames = lambda idx, **kw: (
+        cam_calls.append(idx) or [(f"webcam{idx}#frame0",
+                                   np.zeros((8, 8, 3), np.uint8))])
+    try:
+        items = P.load_source(0, channels=4)
+        items2 = P.load_source("2", channels=4)
+    finally:
+        P._read_webcam_frames = orig_cam
+    assert cam_calls == [0, 2]
+    assert items[0][0] == "webcam0#frame0" and items[0][1].shape[-1] == 4
+    assert items2[0][0] == "webcam2#frame0"
+    with pytest.raises(RuntimeError, match="webcam"):
+        P._read_webcam_frames(99)  # no such device anywhere, headless or not
+    with pytest.raises(TypeError):
+        P.load_source(True, channels=4)  # bool is not a camera index
+
     # HEIC: routed decode, informative gate without pillow-heif
     fake = tmp_path / "img.heic"
     fake.write_bytes(b"\x00\x00\x00\x18ftypheic")

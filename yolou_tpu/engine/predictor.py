@@ -80,6 +80,33 @@ def _read_stream_frames(url: str, max_frames: int = 32,
     return frames
 
 
+def _read_webcam_frames(index: int, max_frames: int = 1) -> List[Tuple[str, np.ndarray]]:
+    """Webcam-index source (`source=0` / `"0"`, ultralytics LoadStreams camera
+    dispatch — custom_load_inference_source.py:34-49 routes integer strings to
+    the stream loader). Gated like screenshots: a headless sandbox raises an
+    informative error instead of hanging on a missing device."""
+    import cv2
+
+    cap = cv2.VideoCapture(index)
+    if not cap.isOpened():
+        cap.release()
+        raise RuntimeError(
+            f"webcam source {index!r} could not be opened (no camera device "
+            f"— headless environment?); use a file/dir/URL source instead")
+    frames = []
+    for i in range(max_frames):
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if frame.ndim == 2:
+            frame = frame[..., None]
+        frames.append((f"webcam{index}#frame{i}", frame))
+    cap.release()
+    if not frames:
+        raise RuntimeError(f"webcam source {index!r} produced no frames")
+    return frames
+
+
 def _grab_screenshot(spec: str) -> np.ndarray:
     """Screenshot source ("screen" / "screen<N>", ultralytics LoadScreenshots
     capability). Uses mss when available, else PIL.ImageGrab; both are gated
@@ -169,12 +196,18 @@ def load_source(source: Source, channels: int = 4) -> List[Tuple[str, np.ndarray
     if _PILImage is not None and isinstance(source, _PILImage.Image):
         items.append(("pil_0", from_pil(source)))
         source = []
-    if isinstance(source, np.ndarray):
+    if isinstance(source, bool):
+        raise TypeError(f"unsupported source type: {source!r}")
+    if isinstance(source, int):  # camera index (ultralytics source=0)
+        items.extend(_read_webcam_frames(source))
+    elif isinstance(source, np.ndarray):
         arrs = source if source.ndim == 4 else source[None]
         for i, a in enumerate(arrs):
             items.append((f"array_{i}", np.asarray(a)))
     elif isinstance(source, str):
-        if source.lower().startswith(STREAM_SCHEMES):
+        if source.isdigit():  # "0" -> camera index, like ultralytics
+            items.extend(_read_webcam_frames(int(source)))
+        elif source.lower().startswith(STREAM_SCHEMES):
             items.extend(_read_stream_frames(source))
         elif source.lower().startswith("screen"):
             items.append((source, _grab_screenshot(source)))
