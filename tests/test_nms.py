@@ -111,3 +111,30 @@ def test_extra_coefs_passthrough(rng):
     # highest-conf row's coefs survive intact
     top = int(np.argmax(p[:, 4]))
     np.testing.assert_allclose(np.asarray(out.extra[0, 0]), coefs[top], rtol=1e-6)
+
+
+def test_topk_cap_invariance_under_conf_gate(rng):
+    """top_k truncates by confidence like the reference's max_nms gate
+    (nms.py:76-99): when the >conf candidate population fits inside top_k,
+    the keep-set must be IDENTICAL for any larger cap. Realistic single-class
+    tumor score profile: a few hundred above-threshold candidates out of
+    8400 anchors (r4: the default cap dropped 1024 -> 512 off this
+    invariance; NMS_BISECT k512 saves ~1 ms/b128)."""
+    n = 8400
+    for trial in range(3):
+        p = make_preds(rng, n=n)
+        # push most candidates below the gate: only ~300 above conf 0.25
+        conf = rng.uniform(0.0, 0.2, size=n).astype(np.float32)
+        hot = rng.choice(n, size=300, replace=False)
+        conf[hot] = rng.uniform(0.3, 1.0, size=300)
+        p[:, 4] = conf
+        outs = [non_max_suppression(jnp.asarray(p[None]), conf_thres=0.25,
+                                    iou_thres=0.45, max_det=300, nc=1,
+                                    top_k=k) for k in (512, n)]
+        for a, b in zip(outs, outs[1:]):
+            np.testing.assert_array_equal(np.asarray(a.valid),
+                                          np.asarray(b.valid))
+            np.testing.assert_allclose(np.asarray(a.boxes),
+                                       np.asarray(b.boxes), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(a.conf),
+                                       np.asarray(b.conf), atol=1e-6)

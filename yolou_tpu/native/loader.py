@@ -31,6 +31,9 @@ def build(force: bool = False) -> bool:
         return False
 
 
+_WANT_VERSION = 2  # bump with yio_version() when the C ABI grows
+
+
 def get_lib(auto_build: bool = True):
     global _lib
     if _lib is not None:
@@ -39,6 +42,11 @@ def get_lib(auto_build: bool = True):
         if not (auto_build and build()):
             return None
     lib = ctypes.CDLL(_LIB_PATH)
+    if lib.yio_version() < _WANT_VERSION:  # stale .so from an older source
+        del lib
+        if not (auto_build and build(force=True)):
+            return None
+        lib = ctypes.CDLL(_LIB_PATH)
     lib.yio_decode_png_file.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
@@ -61,6 +69,19 @@ def get_lib(auto_build: bool = True):
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
         lib.yio_letterbox_s2d_batch.restype = ctypes.c_int
+    lib.yio_s2d4_bf16.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16)]
+    lib.yio_s2d4_bf16.restype = None
+    lib.yio_u8_to_unit_bf16.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint16)]
+    lib.yio_u8_to_unit_bf16.restype = None
+    lib.yio_letterbox_s2d_batch_bf16.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16)]
+    lib.yio_letterbox_s2d_batch_bf16.restype = ctypes.c_int
     lib.yio_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -140,6 +161,38 @@ def s2d4_np(batch: np.ndarray) -> np.ndarray:
     x = batch.reshape(n, s // 4, 4, s // 4, 4, c)
     return np.ascontiguousarray(x.transpose(0, 1, 3, 2, 4, 5)
                                 ).reshape(n, s // 4, s // 4, 16 * c)
+
+
+def s2d4_bf16(batch: np.ndarray) -> Optional[np.ndarray]:
+    """Native s2d(4) fused with the u8 -> unit-bf16 LUT: returns an
+    (N, S/4, S/4, 16*C) array of uint16-typed bf16 bits, numerically equal to
+    `(s2d4(batch).astype(f32) / 255).astype(bf16)` (XLA RNE rounding) — the
+    loader-side version of the device cast pass (~1 ms/b128 at 640²)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, s, _, c = batch.shape
+    batch = np.ascontiguousarray(batch)
+    out = np.empty((n, s // 4, s // 4, 16 * c), np.uint16)
+    for i in range(n):
+        lib.yio_s2d4_bf16(
+            batch[i].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), s, c,
+            out[i].ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    return out
+
+
+def u8_to_unit_bf16(arr: np.ndarray) -> Optional[np.ndarray]:
+    """Elementwise u8 -> bf16(v/255) (uint16-typed bits), native LUT."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.ascontiguousarray(arr)
+    out = np.empty(arr.shape, np.uint16)
+    lib.yio_u8_to_unit_bf16(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(arr.size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    return out
 
 
 def host_letterbox_s2d(imgs: np.ndarray, imgsz: int,

@@ -249,6 +249,44 @@ void s2d4(const uint8_t* src, int imgsz, int channels, uint8_t* dst) {
   }
 }
 
+// ---- uint8 -> normalized bfloat16 (v / 255.0f, round-to-nearest-even) ----
+// Matches XLA's f32->bf16 conversion bit-for-bit so a loader-emitted bf16
+// feed is exactly the device program's `(u8.astype(f32)/255).astype(bf16)`
+// — folding that ~1 ms whole-image cast pass out of the device program.
+struct Bf16Lut {
+  uint16_t v[256];
+  Bf16Lut() {
+    for (int i = 0; i < 256; ++i) {
+      float f = float(i) / 255.0f;
+      uint32_t bits;
+      memcpy(&bits, &f, 4);
+      // round to nearest even on the truncated 16 bits
+      bits += 0x7FFFu + ((bits >> 16) & 1u);
+      v[i] = uint16_t(bits >> 16);
+    }
+  }
+};
+const Bf16Lut kBf16;
+
+// s2d(4) permutation fused with the u8 -> unit-bf16 LUT: emits the stem's
+// lane-dense layout already normalized, (S/4, S/4, 16*C) uint16-as-bf16.
+void s2d4_bf16(const uint8_t* src, int imgsz, int channels, uint16_t* dst) {
+  const int ob = imgsz / 4;
+  const size_t row = size_t(imgsz) * channels;
+  for (int oy = 0; oy < ob; ++oy) {
+    for (int iy = 0; iy < 4; ++iy) {
+      const uint8_t* srow = src + (size_t(oy) * 4 + iy) * row;
+      uint16_t* drow = dst + (size_t(oy) * ob) * (16 * channels)
+                       + iy * 4 * channels;
+      for (int ox = 0; ox < ob; ++ox) {
+        const uint8_t* s = srow + size_t(ox) * 4 * channels;
+        uint16_t* d = drow + size_t(ox) * 16 * channels;
+        for (int k = 0; k < 4 * channels; ++k) d[k] = kBf16.v[s[k]];
+      }
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -256,6 +294,17 @@ extern "C" {
 // Standalone s2d(4) permutation (for tests/benchmarks of the host cost).
 void yio_s2d4(const uint8_t* src, int imgsz, int channels, uint8_t* dst) {
   s2d4(src, imgsz, channels, dst);
+}
+
+// s2d(4) + u8->unit-bf16 in one pass (dst is uint16-typed bf16 storage).
+void yio_s2d4_bf16(const uint8_t* src, int imgsz, int channels,
+                   uint16_t* dst) {
+  s2d4_bf16(src, imgsz, channels, dst);
+}
+
+// Elementwise u8 -> unit-bf16 (v/255, RNE) for non-s2d feeds.
+void yio_u8_to_unit_bf16(const uint8_t* src, int64_t n, uint16_t* dst) {
+  for (int64_t i = 0; i < n; ++i) dst[i] = kBf16.v[src[i]];
 }
 
 // Decode one PNG file; caller frees *out with yio_free. Returns 0 on success.
@@ -361,8 +410,39 @@ int yio_letterbox_s2d_batch(const uint8_t* in, int n, int h, int w, int c,
   return 0;
 }
 
+// yio_letterbox_s2d_batch with the fused u8 -> unit-bf16 emit: the
+// predictor / bench feed for stem_s2d models, already normalized (the
+// device program starts at bf16 and pays no cast pass).
+int yio_letterbox_s2d_batch_bf16(const uint8_t* in, int n, int h, int w,
+                                 int c, int imgsz, int nthreads,
+                                 uint16_t* out) {
+  const size_t in_size = size_t(h) * w * c;
+  const size_t slot_size = size_t(imgsz) * imgsz * c;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    std::vector<uint8_t> stage(slot_size);
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      Image img;
+      img.data.assign(in + in_size * i, in + in_size * (i + 1));
+      img.h = h;
+      img.w = w;
+      img.c = c;
+      place_image(img, imgsz, c, /*letterbox=*/1, /*nearest=*/0, stage.data());
+      s2d4_bf16(stage.data(), imgsz, c, out + slot_size * i);
+    }
+  };
+  int nt = nthreads > 0 ? nthreads : int(std::thread::hardware_concurrency());
+  if (nt > n) nt = n > 0 ? n : 1;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return 0;
+}
+
 void yio_free(void* p) { free(p); }
 
-int yio_version() { return 1; }
+int yio_version() { return 2; }
 
 }  // extern "C"

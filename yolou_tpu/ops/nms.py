@@ -85,7 +85,7 @@ def non_max_suppression(
     iou_thres: float = 0.45,
     max_det: int = 300,
     nc: int = 0,
-    top_k: int = 1024,
+    top_k: int = 512,
     max_wh: float = 7680.0,
     agnostic: bool = False,
     method: str = "greedy",
@@ -94,8 +94,12 @@ def non_max_suppression(
 
     Mirrors /root/reference/nms.py:13-166 semantics (confidence gate, xywh->xyxy,
     best-class selection, per-class offset trick) with fixed shapes. ``top_k``
-    bounds the candidate set (reference ``max_nms=30000``; for single-class
-    tumor detection the >conf population is far below 1024).
+    bounds the candidate set by confidence, like the reference ``max_nms``
+    truncation (nms.py:76-99 gates on conf before NMS; ultralytics caps at
+    max_nms=30000 the same way). The keep-set is EXACT whenever the >conf
+    population fits in top_k — for single-class tumor detection that
+    population is far below the 512 default (NMS_BISECT: k=512 saves ~1 ms
+    over k=1024 at b128; tests/test_nms.py pins k-invariance under the gate).
     """
     b, n, no = prediction.shape
     nc = nc or (no - 4)
