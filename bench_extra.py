@@ -28,15 +28,50 @@ def slope(fn, args, sumfn, iters=8):
     return (tn - t1) / iters
 
 
+def slope_stateful(step, state, args, sumfn, iters=8):
+    """Slope protocol for donated-state train steps: the state buffer is
+    consumed each call, so it must thread through (state, out = step(state,
+    *args)); timing semantics match `slope`."""
+    def run(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            state, out = step(state, *args)
+        float(sumfn(out))
+        return time.perf_counter() - t0
+    run(1)
+    run(1)
+    t1 = min(run(1) for _ in range(3))
+    tn = min(run(1 + iters) for _ in range(2))
+    return (tn - t1) / iters
+
+
+def synth_root(size: int = 160, n_train: int = 512) -> str:
+    """Synthetic on-disk dataset for the e2e trainer surfaces (persisted in
+    /tmp so repeat bench runs skip the generation)."""
+    root = f"/tmp/bench_synth_{size}_{n_train}"
+    marker = os.path.join(root, ".done")
+    if not os.path.exists(marker):
+        from yolou_tpu.data.synthetic import generate, write_objectmaps
+        generate(root, {"train": n_train, "val": 32}, size=size, seed=0)
+        rng = np.random.default_rng(1)
+        for split in ("train", "val"):
+            img_dir = os.path.join(root, "images", split)
+            names = [os.path.splitext(n)[0] for n in os.listdir(img_dir)]
+            write_objectmaps(
+                root, {n: rng.normal(-4, 2, (20, 20)) for n in names}, split)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return root
+
+
 def main(only: str = ""):
     """only: ''=all, 'infer'=configs 2-4, 'train'=config 5 (split to keep
     each run under the sandbox command timeout; results merge into the json)."""
     import jax
     import jax.numpy as jnp
 
-    from yolou_tpu.data.augment import AugHyp, augment_batch
-    from yolou_tpu.losses.dice import soft_dice_loss
-    from yolou_tpu.losses.v8 import v8_loss
     from yolou_tpu.models.segpp import YOLOSegPP
     from yolou_tpu.models.yolo import build_yolo, parse_model_spec
     from yolou_tpu.ops.nms import non_max_suppression
@@ -76,63 +111,78 @@ def main(only: str = ""):
             t = slope(e2e, (sv, x), sum_leaves)
             out[key] = b / t
 
-        # ---- config 4: decoder train step
-        import optax
-        tx = optax.adamw(1e-4)
-        params = sv["params"]
-        opt = tx.init(params)
-        masks = jnp.asarray(rng.random((128, 160, 160, 1)) > 0.7, jnp.float32)
+        # ---- config 4: decoder train step — the REAL DecoderTrainer fused
+        # step (frozen-encoder masked AdamW, donated state, uint8 inputs),
+        # plus the e2e trainer loop (host decode-cache + collate + transfer
+        # included) for the host/device reconciliation (VERDICT r3 #3)
+        from yolou_tpu.engine.trainer_decoder import (DecoderTrainConfig,
+                                                      DecoderTrainer)
+        root = synth_root(160, 512)
+        dcfg = DecoderTrainConfig(image_size=160, batch_size=128, epochs=3,
+                                  val_hd95=False, early_stopping=False,
+                                  run_dir="/tmp/bench_runs_dec")
+        dtr = DecoderTrainer(segpp, sv, root, dcfg)
+        dtr.ensure_ready(steps_per_epoch=4)
+        imgs_u8 = jnp.asarray(rng.integers(0, 255, (128, 160, 160, 4)),
+                              jnp.uint8)
+        masks_u8 = jnp.asarray(
+            (rng.random((128, 160, 160, 1)) > 0.7) * 255, jnp.uint8)
         oms = jnp.asarray(rng.random((128, 20, 20, 1)), jnp.float32)
-        imgs = jnp.asarray(rng.random((128, 160, 160, 4)), jnp.float32)
-
-        @jax.jit
-        def dec_step(params, opt, img, mask, om):
-            def loss_fn(p):
-                (pred, _), upd = segpp.apply(
-                    {"params": p, "batch_stats": sv["batch_stats"]}, img,
-                    logits=om, train=True, mutable=["batch_stats"])
-                return soft_dice_loss(pred, mask), upd
-            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, opt = tx.update(grads, opt, params)
-            return optax.apply_updates(params, updates), opt, loss
-
-        t = slope(lambda i, m, o: dec_step(params, opt, i, m, o)[2],
-                  (imgs, masks, oms), lambda x: float(x))
+        t = slope_stateful(
+            lambda s, i, m, o: dtr._train_step(s, i, m, o)[:2],
+            dtr.state, (imgs_u8, masks_u8, oms), lambda x: float(x))
         out["decoder_train_ips_b128_160"] = 128 / t
+        out["decoder_train_step_ms"] = t * 1e3
+
+        dtr2 = DecoderTrainer(segpp, sv, root, dcfg)
+        dtr2.train()
+        e2e_s = min(dtr2.epoch_times[1:])    # epoch 0 pays compile + decode
+        n_imgs = 512
+        out["decoder_train_e2e_ips_b128_160"] = n_imgs / e2e_s
+        steps = -(-n_imgs // 128)
+        out["decoder_train_host_gap_ms"] = (e2e_s / steps - t) * 1e3
 
     if do_train:
-        # ---- config 5: detector train step with on-device augmentation
+        # ---- config 5: detector train step — the REAL DetectorTrainer fused
+        # step (on-device aug -> v8 seg loss/TAL -> flat-vector SGD+EMA,
+        # donated state), plus the e2e trainer loop over a synthetic on-disk
+        # dataset for the host/device reconciliation (VERDICT r3 #2)
+        from yolou_tpu.data.config import DataConfig
+        from yolou_tpu.engine.trainer_detector import (DetectorTrainConfig,
+                                                       DetectorTrainer)
         det = build_yolo("yolov12", "n", nc=1, ch=4, task="segment",
                          dtype=jnp.bfloat16, use_pallas=True)
         dv = jax.jit(lambda k, x: det.init(k, x, train=False))(
             jax.random.key(0), jnp.zeros((1, 160, 160, 4)))
         b = 32
+        root = synth_root(160, 512)
+        # close_mosaic=0: mosaic every epoch -> ONE jit specialization, so
+        # epochs 1..3 are steady-state samples for the e2e number
+        tcfg = DetectorTrainConfig(imgsz=160, batch_size=b, epochs=4,
+                                   max_instances=8, close_mosaic=0,
+                                   run_dir="/tmp/bench_runs_det")
+        data_cfg = DataConfig(path=root, train="images/train",
+                              val="images/val", channels=4)
+        tr = DetectorTrainer(det, jax.device_get(dv), data_cfg, tcfg)
+        tr.ensure_ready(steps_per_epoch=16)
         img_u8 = jnp.asarray(rng.integers(0, 255, (b, 160, 160, 4)), jnp.uint8)
-        idmap = jnp.zeros((b, 160, 160), jnp.int32).at[:, 40:100, 40:120].set(1)
+        idmap = jnp.zeros((b, 160, 160), jnp.uint8).at[:, 40:100, 40:120].set(1)
         cls = jnp.zeros((b, 8), jnp.int32)
         valid = jnp.zeros((b, 8), bool).at[:, 0].set(True)
-
-        @jax.jit
-        def det_step(params, img_u8, idmap, cls, valid, key):
-            batch = augment_batch(img_u8.astype(jnp.float32) / 255.0, idmap,
-                                  cls, valid, key, AugHyp(), g_out=8)
-            def loss_fn(p):
-                o, upd = det.apply(
-                    {"params": p, "batch_stats": dv["batch_stats"]},
-                    batch["img"], train=True, mutable=["batch_stats"])
-                lo = v8_loss(o.raw, o.mask_coefs, o.protos,
-                             {"cls": batch["cls"], "bboxes": batch["bboxes"],
-                              "valid": batch["valid"], "masks": batch["masks"]},
-                             nc=1)
-                return lo.total, upd
-            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            return loss, sum(jnp.sum(jnp.abs(g)) for g in
-                             jax.tree_util.tree_leaves(grads))
-
-        t = slope(lambda *a: det_step(*a)[0],
-                  (dv["params"], img_u8, idmap, cls, valid, jax.random.key(1)),
-                  lambda x: float(x))
+        t = slope_stateful(
+            lambda s, *a: tr._step[True](s, *a)[:2],
+            tr.state, (img_u8, idmap, cls, valid, jax.random.key(1)),
+            lambda x: float(x))
         out["detector_train_ips_b32_160"] = b / t
+        out["detector_train_step_ms"] = t * 1e3
+
+        tr2 = DetectorTrainer(det, jax.device_get(dv), data_cfg, tcfg)
+        tr2.train()
+        e2e_s = min(tr2.epoch_times[1:])     # epoch 0 pays compile + decode
+        n_imgs = 512
+        out["detector_train_e2e_ips_b32_160"] = n_imgs / e2e_s
+        steps = -(-n_imgs // b)
+        out["detector_train_host_gap_ms"] = (e2e_s / steps - t) * 1e3
 
     with open(out_path, "w") as f:
         json.dump({k: round(v, 2) for k, v in out.items()}, f, indent=2)
