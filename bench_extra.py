@@ -170,7 +170,7 @@ def main(only: str = ""):
         cls = jnp.zeros((b, 8), jnp.int32)
         valid = jnp.zeros((b, 8), bool).at[:, 0].set(True)
         t = slope_stateful(
-            lambda s, *a: tr._step[True](s, *a)[:2],
+            lambda s, *a: tr._step[True](s, a[:-1], a[-1])[:2],
             tr.state, (img_u8, idmap, cls, valid, jax.random.key(1)),
             lambda x: float(x))
         out["detector_train_ips_b32_160"] = b / t

@@ -130,7 +130,7 @@ def test_mesh_vs_single_device_step_equivalence(root):
             batch = meshlib.shard_batch(mesh, raw)
         else:
             batch = raw
-        state, loss, parts = tr._step[False](tr.state, *batch, key)
+        state, loss, parts = tr._step[False](tr.state, batch, key)
         results[name] = (jax.device_get(state.params), float(loss),
                          {k: float(v) for k, v in parts.items()})
 
@@ -147,6 +147,60 @@ def test_mesh_vs_single_device_step_equivalence(root):
         # sharded all-reduce order vs single-device reduction: pure FP noise
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-3, atol=5e-5)
+
+
+def test_packed_collate_step_equivalence(root):
+    """collate_idmap_packed ships the batch as ONE u8 buffer (tunnel-RTT fix,
+    HOST_GAP.json r4); the jitted step's static-slice unpack must reproduce
+    the 4-tuple path bit-for-bit: same collated fields host-side, same loss
+    and updated params device-side."""
+    import jax.numpy as jnp
+    from yolou_tpu.data.yolo_dataset import (YoloSegDataset,
+                                             collate_idmap_cached,
+                                             collate_idmap_packed)
+
+    cfg_data = load_data_yaml(os.path.join(root, "data.yaml"))
+    model, variables = cached_init("yolov12", "n", task="segment", ch=4,
+                                   nc=1, imgsz=64)
+    cfg = DetectorTrainConfig(imgsz=64, batch_size=4, epochs=1,
+                              close_mosaic=0, max_instances=8,
+                              warmup_epochs=0.1, skip_nonfinite=False)
+    ds = YoloSegDataset(os.path.join(root, "images", "train"), imgsz=64,
+                        channels=4, cache_images=True)
+    sel = list(range(4))
+    cb = collate_idmap_cached(ds, sel, 8)
+    buf = collate_idmap_packed(ds, sel, 8)
+
+    # host-side: the packed layout views reproduce the cached fields
+    b, s, mi = 4, 64, 8
+    n_cls, n_valid, n_img = b * mi * 4, b * mi, b * s * s * 4
+    np.testing.assert_array_equal(
+        buf[:n_cls].view(np.int32).reshape(b, mi), cb["cls"])
+    o = n_cls
+    np.testing.assert_array_equal(
+        buf[o:o + n_valid].reshape(b, mi).astype(bool), cb["valid"])
+    o += n_valid
+    np.testing.assert_array_equal(
+        buf[o:o + n_img].reshape(b, s, s, 4), cb["img"])
+    np.testing.assert_array_equal(
+        buf[o + n_img:].reshape(b, s, s), cb["idmap"])
+
+    # device-side: one no-mosaic step from identical states on both forms
+    key = jax.random.key(5)
+    results = {}
+    for name, data in (("tuple", tuple(jnp.asarray(cb[k]) for k in
+                                       ("img", "idmap", "cls", "valid"))),
+                       ("packed", jnp.asarray(buf))):
+        tr = DetectorTrainer(model, variables, cfg_data, cfg)
+        tr.ensure_ready(steps_per_epoch=2)
+        state, loss, parts = tr._step[False](tr.state, data, key)
+        results[name] = (jax.device_get(state.params), float(loss))
+    pt, lt = results["tuple"]
+    pp, lp = results["packed"]
+    assert lt == lp, (lt, lp)
+    for a, b2 in zip(jax.tree_util.tree_leaves(pt),
+                     jax.tree_util.tree_leaves(pp)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
 
 
 def test_flat_opt_matches_optax_chain():

@@ -13,6 +13,22 @@ from ..models.yolo import build_yolo, parse_model_spec
 from ..utils.model_io import load_model
 
 
+def enable_compile_cache(path: str = "/tmp/yolou_jax_cache") -> None:
+    """Persistent XLA compile cache: repeat CLI invocations skip local
+    compiles (CPU backends, AOT-able programs). NOTE: the axon tunnel's
+    remote_compile is NOT cached by this (measured round 2), so first-run
+    TPU compiles still pay 30-300 s; harmless there, a real win on CPU.
+    Safe to call any time before the first jit executes; non-fatal."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
+enable_compile_cache()  # every CLI imports this module before tracing
+
+
 def get_or_init_detector(model_path: Optional[str], *, variant: str = "n",
                          nc: int = 1, ch: int = 4, task: str = "detect",
                          imgsz: int = 160, seed: int = 0, dtype=None,

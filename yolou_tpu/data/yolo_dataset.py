@@ -360,6 +360,50 @@ def collate_idmap_cached(ds: YoloSegDataset, sel,
     return {"img": imgs, "idmap": idmap, "cls": cls, "valid": valid}
 
 
+def collate_idmap_packed(ds: YoloSegDataset, sel, max_inst: int) -> np.ndarray:
+    """`collate_idmap_cached` into ONE contiguous uint8 buffer.
+
+    Through the axon tunnel every host->device transfer pays a full RPC
+    round-trip regardless of size (HOST_GAP.json r4: 4 per-step uploads cost
+    ~4x one), so the trainer ships the whole batch as a single buffer and the
+    jitted step unpacks it with static slices (trainer_detector._build_step).
+    The per-field arrays below are *views* into the buffer — the fill is the
+    same memcpy stacking as collate_idmap_cached, zero extra copies.
+
+    Layout (uint8): [cls int32-LE | valid u8 | img u8 | idmap u8].
+    cls leads so its int32 view is 4-byte aligned. Requires max_inst < 256.
+    """
+    b = len(sel)
+    s = ds.imgsz
+    ch = ds.channels
+    if max_inst >= 256:
+        raise ValueError("packed collate requires uint8 id maps (max_inst < 256)")
+    n_cls = b * max_inst * 4
+    n_valid = b * max_inst
+    n_img = b * s * s * ch
+    n_id = b * s * s
+    buf = np.zeros(n_cls + n_valid + n_img + n_id, np.uint8)
+    cls = buf[:n_cls].view(np.int32).reshape(b, max_inst)
+    o = n_cls
+    valid = buf[o:o + n_valid].reshape(b, max_inst)
+    o += n_valid
+    imgs = buf[o:o + n_img].reshape(b, s, s, ch)
+    o += n_img
+    idmap = buf[o:].reshape(b, s, s)
+    for i, j in enumerate(sel):
+        j = int(j)
+        imgs[i] = ds.load_image(j)
+        im, c, v = ds.item_idmap(j)
+        n = len(c)
+        if n > max_inst:  # zero slots beyond the instance budget
+            im = np.where(im <= max_inst, im, 0)
+            n = max_inst
+        idmap[i] = im
+        cls[i, :n] = c[:n]
+        valid[i, :n] = v[:n]
+    return buf
+
+
 def rect_groups(shapes: List[Tuple[int, int]], batch_size: int) -> List[List[int]]:
     """Aspect-ratio-sorted batch grouping (custom_base.py:316-339 rect mode):
     images sorted by h/w so each batch letterboxes to a similar shape."""

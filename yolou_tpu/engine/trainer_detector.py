@@ -30,7 +30,8 @@ import numpy as np
 import optax
 
 from ..data.augment import AugHyp, augment_batch
-from ..data.yolo_dataset import YoloSegDataset, collate_idmap_cached
+from ..data.yolo_dataset import (YoloSegDataset, collate_idmap_cached,
+                                 collate_idmap_packed)
 from ..data.decoder_dataset import prefetch
 from ..losses.v8 import LossHyp, v8_loss
 from ..models.yolo import YOLOModel
@@ -62,6 +63,10 @@ class DetectorTrainConfig:
     run_dir: str = "runs_detector"
     optimizer: str = "sgd"          # "sgd" (ultralytics auto default) | "adamw"
     val_every: int = 0              # eval-during-train: mAP on val every N epochs (0 = off)
+    packed_upload: bool = True      # ship each batch as ONE packed u8 buffer
+    #   (single-device path only): every tunnel transfer pays a full RPC
+    #   round-trip, so 4 per-step jnp.asarray calls cost ~4x one
+    #   (HOST_GAP.json r4). The jitted step unpacks with static slices.
     flat_opt: bool = True           # SGD path as one flat-vector update
     #   (engine/flat_opt.py): exact make_detector_tx math without the ~386
     #   per-leaf ops of the optax chain + EMA lerp. Checkpoints then store
@@ -218,6 +223,23 @@ class DetectorTrainer:
         cfg = self.cfg
         spec = model.spec
         with_masks = spec.task == "segment"
+        ch = self.data_cfg.channels
+
+        def unpack(packed):
+            # static-slice unpack of collate_idmap_packed's single u8 buffer
+            # (layout documented there); all extents are trace-time constants
+            b, s, mi = cfg.batch_size, cfg.imgsz, cfg.max_instances
+            n_cls, n_valid = b * mi * 4, b * mi
+            n_img = b * s * s * ch
+            q = packed[:n_cls].reshape(b, mi, 4).astype(jnp.int32)
+            cls = q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16) | (q[..., 3] << 24)
+            o = n_cls
+            valid = packed[o:o + n_valid].reshape(b, mi).astype(bool)
+            o += n_valid
+            img = packed[o:o + n_img].reshape(b, s, s, ch)
+            o += n_img
+            idmap = packed[o:o + b * s * s].reshape(b, s, s)
+            return img, idmap, cls, valid
 
         def step_fn(state: DetTrainState, img_u8, idmap, cls, valid, key,
                     use_mosaic: bool):
@@ -263,10 +285,18 @@ class DetectorTrainer:
             new_state = DetTrainState(new_params, new_bs, new_ema, new_opt, step)
             return new_state, loss, parts
 
+        def dispatch(s, data, k, use_mosaic):
+            # `data` is either the 4-tuple (img, idmap, cls, valid) or one
+            # packed u8 vector (collate_idmap_packed); jit specializes per
+            # input structure so this branch resolves at trace time
+            if isinstance(data, tuple):
+                return step_fn(s, *data, k, use_mosaic)
+            return step_fn(s, *unpack(data), k, use_mosaic)
+
         self._step = {
-            True: jax.jit(lambda s, i, m, c, v, k: step_fn(s, i, m, c, v, k, True),
+            True: jax.jit(lambda s, d, k: dispatch(s, d, k, True),
                           donate_argnums=(0,)),
-            False: jax.jit(lambda s, i, m, c, v, k: step_fn(s, i, m, c, v, k, False),
+            False: jax.jit(lambda s, d, k: dispatch(s, d, k, False),
                            donate_argnums=(0,)),
         }
 
@@ -303,13 +333,22 @@ class DetectorTrainer:
             ep = {"loss": 0.0, "box": 0.0, "cls": 0.0, "dfl": 0.0, "seg": 0.0}
             nb = 0
 
+            use_packed = (self.mesh is None and cfg.packed_upload
+                          and cfg.max_instances < 256)
+
             def batch_iter():
                 # collate from the per-image idmap cache AND stage the
                 # host->device transfer here: under `prefetch` this whole
                 # body runs on the worker thread, so collate + tunnel upload
-                # overlap the previous step's device compute
+                # overlap the previous step's device compute. Single-device
+                # runs pack the batch into ONE buffer — each tunnel transfer
+                # costs a full RPC round-trip, so one upload, not four.
                 idx = np.random.default_rng(cfg.seed + epoch).permutation(len(ds))
                 for sel in epoch_index_batches(idx, cfg.batch_size):
+                    if use_packed:
+                        yield jnp.asarray(
+                            collate_idmap_packed(ds, sel, cfg.max_instances))
+                        continue
                     cb = collate_idmap_cached(ds, sel, cfg.max_instances)
                     args = (jnp.asarray(cb["img"]), jnp.asarray(cb["idmap"]),
                             jnp.asarray(cb["cls"]), jnp.asarray(cb["valid"]))
@@ -325,10 +364,10 @@ class DetectorTrainer:
                 for k in ("box", "cls", "dfl", "seg"):
                     ep[k] += float(parts[k])
 
-            for args in prefetch(batch_iter(), depth=3):
+            for data in prefetch(batch_iter(), depth=3):
                 key, sub = jax.random.split(key)
                 self.state, loss, parts = self._step[mosaic_on](
-                    self.state, *args, sub)
+                    self.state, data, sub)
                 # pipelined fetch: materialise step k-1's scalars only after
                 # dispatching step k, so device compute overlaps host collate
                 got = pipe.push((loss, parts))
