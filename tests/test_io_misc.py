@@ -143,6 +143,53 @@ def test_decoder_trainer_resume_via_train(tmp_path):
     assert int(tr2.state.step) == 6
 
 
+def test_decoder_device_data_trajectory_equivalence(tmp_path):
+    """device_data=True keeps the train/val sets in HBM and gathers batches
+    on device; composition matches the host-upload path exactly (same
+    wrap-padded order, same u8->f32/255 math), so a full train() run must
+    produce the same loss history, val metrics, and final params. Uses 3
+    train / 3 val images at batch 2 so both splits exercise the wrap-padded
+    tail batch."""
+    import os
+    from yolou_tpu.data import synthetic
+    from yolou_tpu.engine.trainer_decoder import (DecoderTrainConfig,
+                                                  DecoderTrainer)
+    from yolou_tpu.models.segpp import YOLOSegPP
+    from yolou_tpu.models.yolo import parse_model_spec
+
+    root = str(tmp_path / "d")
+    synthetic.generate(root, {"train": 3, "val": 3}, size=96, seed=2)
+    for split in ("train", "val"):
+        ns = [os.path.splitext(f)[0] for f in
+              os.listdir(os.path.join(root, "images", split))]
+        rng = np.random.default_rng(3)
+        synthetic.write_objectmaps(
+            root, {n: rng.standard_normal((12, 12)).astype(np.float32)
+                   for n in ns}, split)
+
+    spec = parse_model_spec("yolov12", "n", nc=1, ch=4, task="detect")
+    model = YOLOSegPP(spec=spec)
+    v = jax.device_get(jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.key(0), jnp.zeros((1, 96, 96, 4))))
+    runs = {}
+    for name, dd in (("host", False), ("device", True)):
+        cfg = DecoderTrainConfig(image_size=96, batch_size=2, epochs=2,
+                                 val_hd95=True, early_stopping=False,
+                                 device_data=dd,
+                                 run_dir=str(tmp_path / f"runs_{name}"))
+        tr = DecoderTrainer(model, v, root, cfg)
+        runs[name] = (tr.train(), jax.device_get(tr.state.params))
+    hh, ph = runs["host"]
+    hd, pd = runs["device"]
+    for k in hh:
+        np.testing.assert_allclose(
+            np.asarray(hh[k], np.float64), np.asarray(hd[k], np.float64),
+            rtol=2e-5, err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(ph),
+                    jax.tree_util.tree_leaves(pd)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_source_router_stream_screenshot_heic(tmp_path):
     """Stream/screenshot/HEIC source routing (VERDICT round-1 missing #7):
     URLs hit the stream reader (frame-capped), 'screen' hits the screenshot

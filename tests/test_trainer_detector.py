@@ -203,6 +203,35 @@ def test_packed_collate_step_equivalence(root):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
 
 
+def test_device_data_trajectory_equivalence(root, tmp_path):
+    """device_data=True keeps the dataset in HBM and gathers batches on
+    device (zero per-step host traffic); batch composition and key sequence
+    match the host-upload path exactly, so a full train() run must produce
+    the identical loss history and final params."""
+    import jax.numpy as jnp
+
+    cfg_data = load_data_yaml(os.path.join(root, "data.yaml"))
+    model, variables = cached_init("yolov12", "n", task="segment", ch=4,
+                                   nc=1, imgsz=64)
+    runs = {}
+    for name, dd in (("host", False), ("device", True)):
+        cfg = DetectorTrainConfig(imgsz=64, batch_size=4, epochs=1,
+                                  close_mosaic=0, max_instances=8,
+                                  warmup_epochs=0.5, device_data=dd,
+                                  run_dir=str(tmp_path / f"runs_{name}"))
+        tr = DetectorTrainer(model, variables, cfg_data, cfg)
+        hist = tr.train()
+        runs[name] = (hist["loss"], jax.device_get(tr.state.params))
+    lh, ph = runs["host"]
+    ld, pd = runs["device"]
+    # reported epoch means: host sums per-step floats in python f64, the
+    # device path sums f32 on device — reduction-precision noise only
+    np.testing.assert_allclose(np.asarray(lh), np.asarray(ld), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(ph),
+                    jax.tree_util.tree_leaves(pd)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_flat_opt_matches_optax_chain():
     """engine/flat_opt.py runs make_detector_tx's math as ~15 full-width
     vector ops; pin multi-step parity against the optax chain through the

@@ -76,6 +76,47 @@ def main():
     bench("up1_packed", up1)
     bench("up1_large_16mb", up1_large)
     bench("device_put_tuple", dpt)
+
+    # --- TRUE upload cost: block_until_ready on an uploaded array does NOT
+    # flush the tunnel transfer (the 3.45 ms up1_packed above is enqueue
+    # time); the bytes ride the first USE. Force materialization with a
+    # jitted reduction + scalar fetch, and subtract the same reduction on a
+    # device-resident buffer (compute + RTT baseline).
+    s = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
+    for name, buf in (("4mb", packed), ("16mb", big), ("1mb", packed[:2**20])):
+        res = jnp.asarray(buf)
+        int(s(res))  # compile + settle
+        t0 = time.perf_counter()
+        for _ in range(8):
+            int(s(res))
+        base = (time.perf_counter() - t0) / 8 * 1e3
+        t0 = time.perf_counter()
+        for _ in range(8):
+            int(s(jnp.asarray(buf)))
+        tot = (time.perf_counter() - t0) / 8 * 1e3
+        OUT[f"true_upload_{name}_ms"] = round(tot - base, 2)
+        OUT[f"use_resident_{name}_ms"] = round(base, 2)
+        print(f"[upload] true_upload_{name}: {tot - base:.2f} ms "
+              f"(resident baseline {base:.2f})", flush=True)
+
+    # --- does an upload overlap device compute? dispatch a chunky jitted
+    # loop (no host dep), then upload+use concurrently from this thread.
+    w = jnp.asarray(rng.standard_normal((2048, 2048)), jnp.bfloat16)
+    mm = jax.jit(lambda a: jax.lax.fori_loop(
+        0, 64, lambda i, x: x @ x * (1 / 45.0), a))
+    float(mm(w).sum())  # compile
+    t0 = time.perf_counter()
+    float(mm(w).sum())
+    mm_ms = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    out = mm(w)                      # in flight on device
+    up = int(s(jnp.asarray(packed)))  # upload + use while mm runs
+    float(out.sum())
+    both_ms = (time.perf_counter() - t0) * 1e3
+    OUT["mm_alone_ms"] = round(mm_ms, 2)
+    OUT["mm_plus_upload_ms"] = round(both_ms, 2)
+    print(f"[upload] overlap: mm {mm_ms:.1f} ms, mm+upload {both_ms:.1f} ms",
+          flush=True)
     for n in (2, 4):
         upN(n)
         vals = [upN(n) for _ in range(6)]

@@ -86,6 +86,14 @@ class DecoderTrainConfig:
     # on raw-sigmoid maps — the matched-conditioning "fix" arm quantified in
     # CONDITIONING.md.
     normalize_objectmap: bool = True
+    device_data: bool = True        # keep train+val sets in HBM, gather each
+    #   batch on device (single-device, under device_data_budget_mb). Same
+    #   rationale as DetectorTrainConfig.device_data: host->device transfers
+    #   dominate the loop on slow links (UPLOAD_PROBE.json), and the
+    #   reference re-ships every batch per step (train.py:228-236
+    #   DataLoader). Batch composition matches the host path exactly (same
+    #   wrap-padded order), so trajectories are bit-identical.
+    device_data_budget_mb: int = 4096
 
 
 class TrainState(NamedTuple):
@@ -139,6 +147,7 @@ class DecoderTrainer:
                                 batch_stats=self._batch_stats0,
                                 opt_state=opt_state,
                                 step=jnp.zeros((), jnp.int32))
+        self._spe = steps_per_epoch
         self._build_steps()
 
     def _build_steps(self):
@@ -194,6 +203,44 @@ class DecoderTrainer:
         self._eval_step = jax.jit(eval_step)
         self._hd95 = hd95_batch
 
+        # device-resident data path (cfg.device_data): the step gathers its
+        # batch from HBM via this epoch's wrap-padded index order `perm`
+        # (uploaded once per epoch) + state.step — zero per-step host traffic
+        spe, cfg = self._spe, self.cfg
+
+        def dd_train(state, dset, perm):
+            b = cfg.batch_size
+            off = (state.step % spe) * b
+            sel = jax.lax.dynamic_slice(perm, (off,), (b,))
+            return train_step(state,
+                              jnp.take(dset["img"], sel, axis=0),
+                              jnp.take(dset["mask"], sel, axis=0),
+                              jnp.take(dset["om"], sel, axis=0))
+
+        def dd_eval(state, dset, perm, off):
+            # n_real from the STATIC dataset length and the batch offset —
+            # no per-batch host metadata beyond the offset scalar
+            b = cfg.batch_size
+            n = dset["img"].shape[0]
+            sel = jax.lax.dynamic_slice(perm, (off,), (b,))
+            n_real = jnp.minimum(b, n - off)
+            mask = jnp.take(dset["mask"], sel, axis=0)
+            res = eval_step(state,
+                            jnp.take(dset["img"], sel, axis=0),
+                            mask,
+                            jnp.take(dset["om"], sel, axis=0), n_real)
+            # also hand back the gathered unit-scale mask so HD95 (a jax
+            # computation) can consume it without re-shipping host masks
+            return res + (to_unit(mask),)
+
+        self._train_step_dd = jax.jit(dd_train, donate_argnums=donate)
+        self._eval_step_dd = jax.jit(dd_eval)
+        # sum (loss, dice) on device; ONE fetch per epoch (a per-step scalar
+        # fetch costs a full tunnel RTT — HOST_GAP.json r4)
+        self._metric_add = jax.jit(
+            lambda acc, l, d: acc + jnp.stack([l, d]).astype(jnp.float32),
+            donate_argnums=(0,))
+
     # ------------------------------------------------------------------ loops
     def _loaders(self):
         cfg = self.cfg
@@ -229,6 +276,36 @@ class DecoderTrainer:
         patience = 0
         key = jax.random.key(cfg.seed)
 
+        def wrap_perm(order: np.ndarray, b: int) -> np.ndarray:
+            """batches() index order incl. its repeat-first tail padding."""
+            out = []
+            for st in range(0, len(order), b):
+                c = order[st:st + b]
+                if len(c) < b:
+                    c = np.concatenate([c, np.full(b - len(c), c[0])])
+                out.append(c)
+            return np.concatenate(out).astype(np.int32)
+
+        # device-resident datasets: one upload per run (see cfg.device_data)
+        use_dd = (self.mesh is None and cfg.device_data
+                  and train_ds.objectmap_dir is not None)
+        if use_dd:
+            s = cfg.image_size
+            c0 = train_ds.item_u8(0)[0].shape[-1]
+            nbytes = (len(train_ds) + len(val_ds)) * (
+                s * s * (c0 + 1) + 400 * 4)
+            use_dd = nbytes <= cfg.device_data_budget_mb * 2**20
+        dset_tr = dset_va = perm_va = None
+        if use_dd:
+            def _stack(ds):
+                items = [ds.item_u8(i) for i in range(len(ds))]
+                return {"img": jnp.asarray(np.stack([it[0] for it in items])),
+                        "mask": jnp.asarray(np.stack([it[1] for it in items])),
+                        "om": jnp.asarray(np.stack([it[2] for it in items]))}
+            dset_tr, dset_va = _stack(train_ds), _stack(val_ds)
+            perm_va = jnp.asarray(
+                wrap_perm(np.arange(len(val_ds)), cfg.batch_size))
+
         for epoch in range(start_epoch, cfg.epochs):
             # -------- train
             t0 = time.time()
@@ -259,19 +336,37 @@ class DecoderTrainer:
                         batch = jax.tree_util.tree_map(jnp.asarray, batch)
                     yield batch
 
-            for batch in prefetch(staged_iter(), depth=3):
-                self.state, loss, dice = self._train_step(self.state, *batch)
-                # pipelined fetch (one step delayed) keeps the device busy
-                # while the host stages the next batch; the NaN abort below
-                # therefore fires at most one step late
-                got = pipe.push((loss, dice))
-                if got is not None:
+            if use_dd:
+                # device-side metric accumulation; NaN propagates through the
+                # sum, so the abort fires at epoch end instead of one step
+                # late — same outcome, zero per-step fetches
+                order = np.arange(len(train_ds))
+                if cfg.shuffle:
+                    np.random.default_rng(cfg.seed + epoch).shuffle(order)
+                perm_tr = jnp.asarray(wrap_perm(order, cfg.batch_size))
+                acc = jnp.zeros((2,), jnp.float32)
+                for _ in range(steps_per_epoch):
+                    self.state, loss, dice = self._train_step_dd(
+                        self.state, dset_tr, perm_tr)
+                    acc = self._metric_add(acc, loss, dice)
+                    nb += 1
+                vals = jax.device_get(acc)
+                _acc((vals[0], vals[1]))
+            else:
+                for batch in prefetch(staged_iter(), depth=3):
+                    self.state, loss, dice = self._train_step(
+                        self.state, *batch)
+                    # pipelined fetch (one step delayed) keeps the device
+                    # busy while the host stages the next batch; the NaN
+                    # abort below therefore fires at most one step late
+                    got = pipe.push((loss, dice))
+                    if got is not None:
+                        _acc(got)
+                    nb += 1
+                    if nan_hit:
+                        break
+                for got in pipe.drain():
                     _acc(got)
-                nb += 1
-                if nan_hit:
-                    break
-            for got in pipe.drain():
-                _acc(got)
             if nan_hit:
                 print("NaN loss detected!")
                 return self.history
@@ -284,13 +379,28 @@ class DecoderTrainer:
             va_loss = tp_sum = fp_sum = fn_sum = 0.0
             dices, hd95s = [], []
             nb = 0
-            for imgs, masks, oms, n_real in prefetch(
-                    val_ds.batches(cfg.batch_size)):
-                batch = (imgs, masks, oms)
-                if self.mesh is not None:
-                    batch = meshlib.shard_batch(self.mesh, batch)
-                loss, dice, (tp, fp, fn), pred_bin = self._eval_step(
-                    self.state, *batch, n_real)
+
+            def _val_batches():
+                # same (loss, dice, counts, pred_bin, masks, n_real) stream
+                # from either source; the device-data arm gathers each batch
+                # from HBM (zero uploads), the host arm ships batches
+                if use_dd:
+                    nva = len(val_ds)
+                    for st in range(0, nva, cfg.batch_size):
+                        *res, mask = self._eval_step_dd(self.state, dset_va,
+                                                        perm_va, st)
+                        yield (*res, mask, min(cfg.batch_size, nva - st))
+                else:
+                    for imgs, masks, oms, n_real in prefetch(
+                            val_ds.batches(cfg.batch_size)):
+                        batch = (imgs, masks, oms)
+                        if self.mesh is not None:
+                            batch = meshlib.shard_batch(self.mesh, batch)
+                        yield (*self._eval_step(self.state, *batch, n_real),
+                               masks, n_real)
+
+            for loss, dice, (tp, fp, fn), pred_bin, masks, n_real \
+                    in _val_batches():
                 va_loss += float(loss)
                 dices.append(np.asarray(dice)[:n_real])
                 # precision/recall pooled over the split (one ratio from the

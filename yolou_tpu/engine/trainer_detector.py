@@ -67,6 +67,19 @@ class DetectorTrainConfig:
     #   (single-device path only): every tunnel transfer pays a full RPC
     #   round-trip, so 4 per-step jnp.asarray calls cost ~4x one
     #   (HOST_GAP.json r4). The jitted step unpacks with static slices.
+    device_data: bool = True        # keep the WHOLE dataset in HBM and gather
+    #   each batch on device (single-device path, dataset under
+    #   device_data_budget_mb). Host->device transfers are the train loop's
+    #   bottleneck when the link is slow (UPLOAD_PROBE.json r4: ~25-50 MB/s
+    #   through the tunnel, uploads do not overlap compute — the reference's
+    #   DataLoader ships every batch over PCIe each step,
+    #   /root/reference/train.py:228-236); with a static dataset and
+    #   ON-DEVICE augmentation the step needs only indices, so one dataset
+    #   upload per run + one ~KB permutation upload per epoch replace all
+    #   per-step traffic. Batch composition and key sequence match the host
+    #   path exactly (same wrap-filled permutation), so the training
+    #   trajectory is bit-identical (test_trainer_detector.py).
+    device_data_budget_mb: int = 4096  # v5e has 16 GB HBM; model+opt is ~MBs
     flat_opt: bool = True           # SGD path as one flat-vector update
     #   (engine/flat_opt.py): exact make_detector_tx math without the ~386
     #   per-leaf ops of the optax chain + EMA lerp. Checkpoints then store
@@ -216,6 +229,7 @@ class DetectorTrainer:
             opt_state=opt0,
             step=jnp.zeros((), jnp.int32),
         )
+        self._spe = steps_per_epoch
         self._build_step()
 
     def _build_step(self):
@@ -300,6 +314,39 @@ class DetectorTrainer:
                            donate_argnums=(0,)),
         }
 
+        spe = self._spe
+
+        def dd_step(state, dset, perm, key, use_mosaic):
+            # device-resident data path: the step gathers its own batch from
+            # the HBM-resident dataset; `perm` is this epoch's wrap-filled
+            # index order (length spe*b, uploaded once per epoch) and
+            # state.step locates the batch — zero per-step host traffic
+            b = cfg.batch_size
+            off = (state.step % spe) * b
+            sel = jax.lax.dynamic_slice(perm, (off,), (b,))
+            img = jnp.take(dset["img"], sel, axis=0)
+            idmap = jnp.take(dset["idmap"], sel, axis=0)
+            cls = jnp.take(dset["cls"], sel, axis=0)
+            valid = jnp.take(dset["valid"], sel, axis=0)
+            return step_fn(state, img, idmap, cls, valid, key, use_mosaic)
+
+        self._step_dd = {
+            True: jax.jit(lambda s, d, p, k: dd_step(s, d, p, k, True),
+                          donate_argnums=(0,)),
+            False: jax.jit(lambda s, d, p, k: dd_step(s, d, p, k, False),
+                           donate_argnums=(0,)),
+        }
+
+        # device-side epoch-metric accumulator: fetching (loss, parts) per
+        # step costs one ~23 ms tunnel RTT each (the only remaining host cost
+        # once data is device-resident); summing on device and fetching ONCE
+        # per epoch removes it
+        self._metric_add = jax.jit(
+            lambda acc, loss, parts: acc + jnp.stack(
+                [loss, parts["box"], parts["cls"], parts["dfl"],
+                 parts["seg"]]).astype(jnp.float32),
+            donate_argnums=(0,))
+
     # ------------------------------------------------------------------ train
     def train(self, resume_from: Optional[str] = None) -> Dict[str, list]:
         cfg = self.cfg
@@ -327,6 +374,21 @@ class DetectorTrainer:
 
         key = jax.random.key(cfg.seed)
         best_fitness = float("-inf")
+
+        # device-resident dataset: one upload per run, zero per-step traffic
+        # (augmentation already runs on device; see DetectorTrainConfig)
+        use_device_data = (self.mesh is None and cfg.device_data
+                           and cfg.max_instances < 256)
+        if use_device_data:
+            s, chn, mi = cfg.imgsz, self.data_cfg.channels, cfg.max_instances
+            nbytes = len(ds) * (s * s * (chn + 1) + mi * 5)
+            use_device_data = nbytes <= cfg.device_data_budget_mb * 2**20
+        dset_dev = None
+        if use_device_data:
+            cb = collate_idmap_cached(ds, list(range(len(ds))),
+                                      cfg.max_instances)
+            dset_dev = {k: jnp.asarray(v) for k, v in cb.items()}
+
         for epoch in range(start_epoch, cfg.epochs):
             mosaic_on = epoch < cfg.epochs - cfg.close_mosaic
             t0 = time.time()
@@ -364,16 +426,39 @@ class DetectorTrainer:
                 for k in ("box", "cls", "dfl", "seg"):
                     ep[k] += float(parts[k])
 
-            for data in prefetch(batch_iter(), depth=3):
-                key, sub = jax.random.split(key)
-                self.state, loss, parts = self._step[mosaic_on](
-                    self.state, data, sub)
-                # pipelined fetch: materialise step k-1's scalars only after
-                # dispatching step k, so device compute overlaps host collate
-                got = pipe.push((loss, parts))
-                if got is not None:
-                    _acc(got)
-                nb += 1
+            if use_device_data:
+                # same batches + key sequence as the host path (bit-identical
+                # trajectory); only the gather moves on device. No per-step
+                # host fetches: metrics accumulate on device, ONE fetch at
+                # epoch end.
+                idx = np.random.default_rng(
+                    cfg.seed + epoch).permutation(len(ds))
+                perm = np.concatenate(
+                    [np.asarray(sel, np.int32)
+                     for sel in epoch_index_batches(idx, cfg.batch_size)])
+                perm_dev = jnp.asarray(perm)
+                acc = jnp.zeros((5,), jnp.float32)
+                for _ in range(steps_per_epoch):
+                    key, sub = jax.random.split(key)
+                    self.state, loss, parts = self._step_dd[mosaic_on](
+                        self.state, dset_dev, perm_dev, sub)
+                    acc = self._metric_add(acc, loss, parts)
+                    nb += 1
+                vals = jax.device_get(acc)
+                for i, k in enumerate(("loss", "box", "cls", "dfl", "seg")):
+                    ep[k] += float(vals[i])
+            else:
+                for data in prefetch(batch_iter(), depth=3):
+                    key, sub = jax.random.split(key)
+                    self.state, loss, parts = self._step[mosaic_on](
+                        self.state, data, sub)
+                    # pipelined fetch: materialise step k-1's scalars only
+                    # after dispatching step k, so device compute overlaps
+                    # host collate
+                    got = pipe.push((loss, parts))
+                    if got is not None:
+                        _acc(got)
+                    nb += 1
             for got in pipe.drain():
                 _acc(got)
 
