@@ -181,13 +181,21 @@ def test_decoder_device_data_trajectory_equivalence(tmp_path):
         runs[name] = (tr.train(), jax.device_get(tr.state.params))
     hh, ph = runs["host"]
     hd, pd = runs["device"]
+    # the device arm runs train epochs and the val pass as single lax.scan
+    # programs, so XLA fuses the step bodies differently than the per-step
+    # host jits: agreement is at reduction/fusion precision, not bitwise
+    # (a composition bug would show at percent level)
     for k in hh:
         np.testing.assert_allclose(
             np.asarray(hh[k], np.float64), np.asarray(hd[k], np.float64),
-            rtol=2e-5, err_msg=k)
+            rtol=2e-4, atol=1e-6, err_msg=k)
+    # params: AdamW divides by sqrt(v), so fusion-level grad noise moves each
+    # step by up to ~lr regardless of grad scale — the history checks above
+    # carry the bug sensitivity; this bounds gross drift only
     for a, b in zip(jax.tree_util.tree_leaves(ph),
                     jax.tree_util.tree_leaves(pd)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=3e-4)
 
 
 def test_source_router_stream_screenshot_heic(tmp_path):

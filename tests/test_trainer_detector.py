@@ -224,12 +224,19 @@ def test_device_data_trajectory_equivalence(root, tmp_path):
         runs[name] = (hist["loss"], jax.device_get(tr.state.params))
     lh, ph = runs["host"]
     ld, pd = runs["device"]
-    # reported epoch means: host sums per-step floats in python f64, the
-    # device path sums f32 on device — reduction-precision noise only
-    np.testing.assert_allclose(np.asarray(lh), np.asarray(ld), rtol=1e-6)
+    # same batches, same key sequence, same math — but the device path runs
+    # the whole epoch as ONE lax.scan program, so XLA fuses the step body
+    # differently than the per-step host jit: agreement is at reduction/
+    # fusion precision (~1e-5 relative), not bitwise. A batch-composition or
+    # key-sequence bug shows up at percent level, far above this tolerance.
+    np.testing.assert_allclose(np.asarray(lh), np.asarray(ld), rtol=5e-5)
+    # params: fusion-level grad noise accumulates through the optimizer (the
+    # bias group warms up from lr=0.1), so the loss check above carries the
+    # bug sensitivity; this bounds gross drift only
     for a, b in zip(jax.tree_util.tree_leaves(ph),
                     jax.tree_util.tree_leaves(pd)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
 
 
 def test_flat_opt_matches_optax_chain():

@@ -92,7 +92,8 @@ class DecoderTrainConfig:
     #   dominate the loop on slow links (UPLOAD_PROBE.json), and the
     #   reference re-ships every batch per step (train.py:228-236
     #   DataLoader). Batch composition matches the host path exactly (same
-    #   wrap-padded order), so trajectories are bit-identical.
+    #   wrap-padded order), so trajectories match to reduction/fusion
+    #   precision (the epoch runs as one lax.scan program).
     device_data_budget_mb: int = 4096
 
 
@@ -233,13 +234,47 @@ class DecoderTrainer:
             # computation) can consume it without re-shipping host masks
             return res + (to_unit(mask),)
 
-        self._train_step_dd = jax.jit(dd_train, donate_argnums=donate)
-        self._eval_step_dd = jax.jit(dd_eval)
-        # sum (loss, dice) on device; ONE fetch per epoch (a per-step scalar
-        # fetch costs a full tunnel RTT — HOST_GAP.json r4)
-        self._metric_add = jax.jit(
-            lambda acc, l, d: acc + jnp.stack([l, d]).astype(jnp.float32),
-            donate_argnums=(0,))
+        def dd_epoch(state, dset, perm):
+            # whole-epoch lax.scan: ONE dispatch + ONE metric fetch per EPOCH
+            # (each per-step dispatch through the tunnel costs most of a
+            # ~23 ms RTT even with device-resident data — HOST_GAP.json r4).
+            # The trajectory matches the host-upload path to reduction/fusion
+            # precision — the scan compiles the step body in one program, so
+            # XLA fusion differs bitwise
+            # (test_io_misc.py::test_decoder_device_data_trajectory_equivalence).
+            def body(carry, _):
+                st, acc = carry
+                st, loss, dice = dd_train(st, dset, perm)
+                acc = acc + jnp.stack([loss, dice]).astype(jnp.float32)
+                return (st, acc), None
+            (state, acc), _ = jax.lax.scan(
+                body, (state, jnp.zeros((2,), jnp.float32)), None, length=spe)
+            return state, acc
+
+        self._epoch_dd = jax.jit(dd_epoch, donate_argnums=(0,))
+
+        def dd_val(state, dset, perm):
+            # whole-split validation scan (device-resident data): ONE dispatch
+            # + ONE fetch for the entire val pass — the per-batch loop paid
+            # ~3 tunnel RTTs per batch (dispatch + scalar + array fetches).
+            # HD95 moves inside the program too (it is pure jax); padded tail
+            # rows are cut host-side exactly as the per-batch path did.
+            b = cfg.batch_size
+            n = dset["img"].shape[0]
+            n_batches = -(-n // b)
+            offs = jnp.arange(n_batches, dtype=jnp.int32) * b
+
+            def body(carry, off):
+                loss, dice, (tp, fp, fn), pred_bin, mask_u = dd_eval(
+                    state, dset, perm, off)
+                hd = (hd95_batch(pred_bin[..., 0], mask_u[..., 0])
+                      if cfg.val_hd95 else jnp.zeros((b,), jnp.float32))
+                return carry, (loss, dice, jnp.stack([tp, fp, fn]), hd)
+
+            _, ys = jax.lax.scan(body, 0, offs)
+            return ys
+
+        self._val_dd = jax.jit(dd_val)
 
     # ------------------------------------------------------------------ loops
     def _loaders(self):
@@ -344,12 +379,8 @@ class DecoderTrainer:
                 if cfg.shuffle:
                     np.random.default_rng(cfg.seed + epoch).shuffle(order)
                 perm_tr = jnp.asarray(wrap_perm(order, cfg.batch_size))
-                acc = jnp.zeros((2,), jnp.float32)
-                for _ in range(steps_per_epoch):
-                    self.state, loss, dice = self._train_step_dd(
-                        self.state, dset_tr, perm_tr)
-                    acc = self._metric_add(acc, loss, dice)
-                    nb += 1
+                self.state, acc = self._epoch_dd(self.state, dset_tr, perm_tr)
+                nb = steps_per_epoch
                 vals = jax.device_get(acc)
                 _acc((vals[0], vals[1]))
             else:
@@ -380,17 +411,24 @@ class DecoderTrainer:
             dices, hd95s = [], []
             nb = 0
 
-            def _val_batches():
-                # same (loss, dice, counts, pred_bin, masks, n_real) stream
-                # from either source; the device-data arm gathers each batch
-                # from HBM (zero uploads), the host arm ships batches
-                if use_dd:
-                    nva = len(val_ds)
-                    for st in range(0, nva, cfg.batch_size):
-                        *res, mask = self._eval_step_dd(self.state, dset_va,
-                                                        perm_va, st)
-                        yield (*res, mask, min(cfg.batch_size, nva - st))
-                else:
+            if use_dd:
+                # single fetch for the whole split; padded tail rows cut
+                # host-side, counts already masked inside eval_step
+                losses, dices_b, counts, hds = jax.device_get(
+                    self._val_dd(self.state, dset_va, perm_va))
+                nva = len(val_ds)
+                for i in range(len(losses)):
+                    n_real = min(cfg.batch_size, nva - i * cfg.batch_size)
+                    va_loss += float(losses[i])
+                    dices.append(dices_b[i][:n_real])
+                    tp_sum += float(counts[i][0])
+                    fp_sum += float(counts[i][1])
+                    fn_sum += float(counts[i][2])
+                    if cfg.val_hd95:
+                        hd95s.append(hds[i][:n_real])
+                    nb += 1
+            else:
+                def _val_batches():
                     for imgs, masks, oms, n_real in prefetch(
                             val_ds.batches(cfg.batch_size)):
                         batch = (imgs, masks, oms)
@@ -399,21 +437,23 @@ class DecoderTrainer:
                         yield (*self._eval_step(self.state, *batch, n_real),
                                masks, n_real)
 
-            for loss, dice, (tp, fp, fn), pred_bin, masks, n_real \
-                    in _val_batches():
-                va_loss += float(loss)
-                dices.append(np.asarray(dice)[:n_real])
-                # precision/recall pooled over the split (one ratio from the
-                # summed pixel counts — like the Evaluator; the reference's
-                # per-batch-mean form, train.py:388-403, is batch-size
-                # dependent and double-counts wrap-padded tail rows)
-                tp_sum += float(tp)
-                fp_sum += float(fp)
-                fn_sum += float(fn)
-                if cfg.val_hd95:
-                    hd = np.asarray(self._hd95(pred_bin[..., 0], masks[..., 0]))
-                    hd95s.append(hd[:n_real])
-                nb += 1
+                for loss, dice, (tp, fp, fn), pred_bin, masks, n_real \
+                        in _val_batches():
+                    va_loss += float(loss)
+                    dices.append(np.asarray(dice)[:n_real])
+                    # precision/recall pooled over the split (one ratio from
+                    # the summed pixel counts — like the Evaluator; the
+                    # reference's per-batch-mean form, train.py:388-403, is
+                    # batch-size dependent and double-counts wrap-padded tail
+                    # rows)
+                    tp_sum += float(tp)
+                    fp_sum += float(fp)
+                    fn_sum += float(fn)
+                    if cfg.val_hd95:
+                        hd = np.asarray(
+                            self._hd95(pred_bin[..., 0], masks[..., 0]))
+                        hd95s.append(hd[:n_real])
+                    nb += 1
             va_loss /= max(nb, 1)
             va_prec = tp_sum / (tp_sum + fp_sum + 1e-6)
             va_rec = tp_sum / (tp_sum + fn_sum + 1e-6)

@@ -78,7 +78,8 @@ class DetectorTrainConfig:
     #   upload per run + one ~KB permutation upload per epoch replace all
     #   per-step traffic. Batch composition and key sequence match the host
     #   path exactly (same wrap-filled permutation), so the training
-    #   trajectory is bit-identical (test_trainer_detector.py).
+    #   trajectory matches to reduction/fusion precision
+    #   (test_trainer_detector.py).
     device_data_budget_mb: int = 4096  # v5e has 16 GB HBM; model+opt is ~MBs
     flat_opt: bool = True           # SGD path as one flat-vector update
     #   (engine/flat_opt.py): exact make_detector_tx math without the ~386
@@ -330,22 +331,37 @@ class DetectorTrainer:
             valid = jnp.take(dset["valid"], sel, axis=0)
             return step_fn(state, img, idmap, cls, valid, key, use_mosaic)
 
-        self._step_dd = {
-            True: jax.jit(lambda s, d, p, k: dd_step(s, d, p, k, True),
+        def dd_epoch(state, dset, perm, key, use_mosaic):
+            # whole-epoch lax.scan over the device-resident dataset: ONE
+            # dispatch + ONE metric fetch per EPOCH. Even with zero per-step
+            # data traffic, each dispatch through the tunnel costs most of a
+            # ~23 ms RTT (HOST_GAP.json r4: e2e 41 ms/step vs 11.3 ms device
+            # with 3 dispatches/step), so the loop itself moves on device.
+            # The rng key threads through the carry with the same
+            # `key, sub = split(key)` sequence as the host loop, so the
+            # trajectory matches the host-upload path to reduction/fusion
+            # precision — the scan compiles the step body in one program, so
+            # XLA fusion differs bitwise
+            # (test_trainer_detector.py::test_device_data_trajectory_equivalence).
+            def body(carry, _):
+                st, k, acc = carry
+                k, sub = jax.random.split(k)
+                st, loss, parts = dd_step(st, dset, perm, sub, use_mosaic)
+                acc = acc + jnp.stack(
+                    [loss, parts["box"], parts["cls"], parts["dfl"],
+                     parts["seg"]]).astype(jnp.float32)
+                return (st, k, acc), None
+            acc0 = jnp.zeros((5,), jnp.float32)
+            (state, key, acc), _ = jax.lax.scan(
+                body, (state, key, acc0), None, length=spe)
+            return state, key, acc
+
+        self._epoch_dd = {
+            True: jax.jit(lambda s, d, p, k: dd_epoch(s, d, p, k, True),
                           donate_argnums=(0,)),
-            False: jax.jit(lambda s, d, p, k: dd_step(s, d, p, k, False),
+            False: jax.jit(lambda s, d, p, k: dd_epoch(s, d, p, k, False),
                            donate_argnums=(0,)),
         }
-
-        # device-side epoch-metric accumulator: fetching (loss, parts) per
-        # step costs one ~23 ms tunnel RTT each (the only remaining host cost
-        # once data is device-resident); summing on device and fetching ONCE
-        # per epoch removes it
-        self._metric_add = jax.jit(
-            lambda acc, loss, parts: acc + jnp.stack(
-                [loss, parts["box"], parts["cls"], parts["dfl"],
-                 parts["seg"]]).astype(jnp.float32),
-            donate_argnums=(0,))
 
     # ------------------------------------------------------------------ train
     def train(self, resume_from: Optional[str] = None) -> Dict[str, list]:
@@ -427,23 +443,18 @@ class DetectorTrainer:
                     ep[k] += float(parts[k])
 
             if use_device_data:
-                # same batches + key sequence as the host path (bit-identical
-                # trajectory); only the gather moves on device. No per-step
-                # host fetches: metrics accumulate on device, ONE fetch at
-                # epoch end.
+                # same batches + key sequence as the host path; the whole
+                # epoch runs as ONE scan dispatch with metrics accumulated on
+                # device and fetched once at epoch end.
                 idx = np.random.default_rng(
                     cfg.seed + epoch).permutation(len(ds))
                 perm = np.concatenate(
                     [np.asarray(sel, np.int32)
                      for sel in epoch_index_batches(idx, cfg.batch_size)])
                 perm_dev = jnp.asarray(perm)
-                acc = jnp.zeros((5,), jnp.float32)
-                for _ in range(steps_per_epoch):
-                    key, sub = jax.random.split(key)
-                    self.state, loss, parts = self._step_dd[mosaic_on](
-                        self.state, dset_dev, perm_dev, sub)
-                    acc = self._metric_add(acc, loss, parts)
-                    nb += 1
+                self.state, key, acc = self._epoch_dd[mosaic_on](
+                    self.state, dset_dev, perm_dev, key)
+                nb = steps_per_epoch
                 vals = jax.device_get(acc)
                 for i, k in enumerate(("loss", "box", "cls", "dfl", "seg")):
                     ep[k] += float(vals[i])
