@@ -184,8 +184,25 @@ def main(only: str = ""):
         steps = -(-n_imgs // b)
         out["detector_train_host_gap_ms"] = (e2e_s / steps - t) * 1e3
 
+    # provenance: which commit/when produced the keys this run REFRESHED
+    # (merged stale keys keep their old stamp under provenance[<branch>])
+    import subprocess
+    try:
+        commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                                capture_output=True, text=True,
+                                cwd=here).stdout.strip()
+    except Exception:
+        commit = "unknown"
+    prov = out.get("provenance", {})
+    stamp = {"measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+             "commit": commit}
+    for branch, on in (("infer", do_infer), ("train", do_train)):
+        if on:
+            prov[branch] = stamp
+    out["provenance"] = prov
     with open(out_path, "w") as f:
-        json.dump({k: round(v, 2) for k, v in out.items()}, f, indent=2)
+        json.dump({k: (round(v, 2) if isinstance(v, float) else v)
+                   for k, v in out.items()}, f, indent=2)
     print(json.dumps(out, indent=2))
 
 

@@ -178,9 +178,13 @@ def test_decoder_device_data_trajectory_equivalence(tmp_path):
                                  device_data=dd,
                                  run_dir=str(tmp_path / f"runs_{name}"))
         tr = DecoderTrainer(model, v, root, cfg)
-        runs[name] = (tr.train(), jax.device_get(tr.state.params))
-    hh, ph = runs["host"]
-    hd, pd = runs["device"]
+        runs[name] = (tr.train(), jax.device_get(tr.state.params),
+                      int(tr.state.step))
+    hh, ph, sh = runs["host"]
+    hd, pd, sd = runs["device"]
+    # exact step-count agreement catches a dropped/duplicated scan iteration
+    # that the loose param tolerance below cannot (ADVICE r4)
+    assert sh == sd
     # the device arm runs train epochs and the val pass as single lax.scan
     # programs, so XLA fuses the step bodies differently than the per-step
     # host jits: agreement is at reduction/fusion precision, not bitwise

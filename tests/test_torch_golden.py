@@ -1487,3 +1487,88 @@ def test_golden_match_predictions():
     want[0, :7] = True                         # p0 gets gt0 up to t=0.80
     want[1, 7:] = True                         # p1 only once p0 drops out
     np.testing.assert_array_equal(tp, want)
+
+
+def _t_compute_ap(recall: torch.Tensor, precision: torch.Tensor) -> float:
+    """Torch transcription of ultralytics.utils.metrics.compute_ap
+    (101-point COCO interp, recall[-1]+0.01 sentinel)."""
+    mrec = torch.cat([torch.zeros(1, dtype=torch.float64), recall,
+                      recall[-1:] + 0.01])
+    mpre = torch.cat([torch.ones(1, dtype=torch.float64), precision,
+                      torch.zeros(1, dtype=torch.float64)])
+    mpre = torch.flip(torch.cummax(torch.flip(mpre, [0]), 0).values, [0])
+    x = torch.linspace(0, 1, 101, dtype=torch.float64)
+    # np.interp equivalent on a monotonically increasing mrec; right=True
+    # matches np.interp's tie handling (value of the LAST tied sample)
+    idx = torch.searchsorted(mrec, x, right=True).clamp(1, len(mrec) - 1)
+    x0, x1 = mrec[idx - 1], mrec[idx]
+    y0, y1 = mpre[idx - 1], mpre[idx]
+    w = torch.where(x1 > x0, (x - x0) / (x1 - x0), torch.zeros_like(x))
+    y = y0 + w * (y1 - y0)
+    y = torch.where(x >= mrec[-1], mpre[-1], y)
+    return float(torch.trapezoid(y, x))
+
+
+def _t_ap_per_threshold(tp: torch.Tensor, conf: torch.Tensor,
+                        n_gt: int) -> torch.Tensor:
+    """Torch transcription of the AP loop in ultralytics ap_per_class."""
+    order = torch.argsort(-conf)
+    tp = tp[order].to(torch.float64)
+    aps = []
+    for ti in range(tp.shape[1]):
+        tpc = torch.cumsum(tp[:, ti], 0)
+        fpc = torch.cumsum(1.0 - tp[:, ti], 0)
+        recall = tpc / (n_gt + 1e-16)
+        precision = tpc / (tpc + fpc)
+        aps.append(_t_compute_ap(recall, precision))
+    return torch.tensor(aps, dtype=torch.float64)
+
+
+def test_golden_compute_ap():
+    """metrics/det.py AP integral end-to-end vs the ultralytics
+    compute_ap/ap_per_class transcription (VERDICT r4 #5): random TP
+    matrices from the *golden-pinned matcher*, through cumsum PR curves,
+    envelope, and 101-point integration. Fitness (0.1*mAP50 + 0.9*mAP)
+    selects best.ckpt through these numbers."""
+    from yolou_tpu.metrics.det import (DetMetrics, IOUV, average_precision,
+                                       box_iou_np, match_predictions)
+
+    rng = np.random.default_rng(11)
+    for trial in range(12):
+        n_gt, n_pred = int(rng.integers(1, 10)), int(rng.integers(1, 16))
+        gt_xy = rng.random((n_gt, 2)) * 80
+        gt = np.concatenate([gt_xy, gt_xy + 5 + rng.random((n_gt, 2)) * 30],
+                            1).astype(np.float32)
+        base = gt[rng.integers(0, n_gt, n_pred)]
+        pred = base + rng.normal(0, 4, (n_pred, 4)).astype(np.float32)
+        pred[:, 2:] = np.maximum(pred[:, 2:], pred[:, :2] + 1)
+        conf = rng.random(n_pred).astype(np.float32)
+        cls0 = np.zeros(n_pred, int)
+        tp = match_predictions(pred, cls0, gt, np.zeros(n_gt, int))
+        got = average_precision(tp, conf, n_gt)
+        want = _t_ap_per_threshold(torch.from_numpy(tp),
+                                   torch.from_numpy(conf), n_gt)
+        np.testing.assert_allclose(got, want.numpy(), rtol=0, atol=1e-12,
+                                   err_msg=f"trial {trial}")
+
+        # and through the DetMetrics accumulator (the trainer's surface).
+        # update() conf-sorts BEFORE matching (ultralytics preds arrive
+        # NMS-sorted) and the matcher's gt-dedup tiebreak depends on pred
+        # numbering, so the golden must match on the sorted preds too.
+        m = DetMetrics(nc=1)
+        m.update(pred, conf, cls0, gt, np.zeros(n_gt, int))
+        res = m.compute()
+        order = np.argsort(-conf)
+        tp_sorted = match_predictions(pred[order], cls0, gt,
+                                      np.zeros(n_gt, int))
+        want_m = _t_ap_per_threshold(torch.from_numpy(tp_sorted),
+                                     torch.from_numpy(conf[order]), n_gt)
+        assert abs(res["map50"] - float(want_m[0])) < 1e-12
+        assert abs(res["map"] - float(want_m.mean())) < 1e-12
+
+    # hand case: known integral. One pred, one gt, perfect match at all t.
+    gt = np.array([[0, 0, 10, 10]], np.float32)
+    tp = match_predictions(gt.copy(), np.zeros(1, int), gt, np.zeros(1, int))
+    ap = average_precision(tp, np.array([0.9], np.float32), 1)
+    # recall curve reaches 1.0 with precision 1.0 => 101-interp AP = 1.0
+    np.testing.assert_allclose(ap, np.ones(10), atol=1e-12)

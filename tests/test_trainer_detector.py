@@ -221,9 +221,13 @@ def test_device_data_trajectory_equivalence(root, tmp_path):
                                   run_dir=str(tmp_path / f"runs_{name}"))
         tr = DetectorTrainer(model, variables, cfg_data, cfg)
         hist = tr.train()
-        runs[name] = (hist["loss"], jax.device_get(tr.state.params))
-    lh, ph = runs["host"]
-    ld, pd = runs["device"]
+        runs[name] = (hist["loss"], jax.device_get(tr.state.params),
+                      int(tr.state.step))
+    lh, ph, sh = runs["host"]
+    ld, pd, sd = runs["device"]
+    # exact step-count agreement catches a dropped/duplicated scan iteration
+    # that the loose param tolerance below cannot (ADVICE r4)
+    assert sh == sd
     # same batches, same key sequence, same math — but the device path runs
     # the whole epoch as ONE lax.scan program, so XLA fuses the step body
     # differently than the per-step host jit: agreement is at reduction/

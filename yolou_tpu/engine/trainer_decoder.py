@@ -124,6 +124,7 @@ class DecoderTrainer:
         self._batch_stats0 = variables["batch_stats"]
         self.state: Optional[TrainState] = None
         self.tx = None
+        self._spe: Optional[int] = None
 
     # ------------------------------------------------------------------ setup
     def ensure_ready(self, steps_per_epoch: int = 1) -> None:
@@ -131,7 +132,27 @@ class DecoderTrainer:
         update: decay_steps = epochs * steps_per_epoch ~ CosineAnnealingLR
         T_max=epochs)."""
         if self.state is not None:
+            # state survives, but schedules and the epoch-scan length are
+            # baked per steps_per_epoch: rebuild them on mismatch rather than
+            # silently running the wrong number of optimizer steps (ADVICE r4)
+            if steps_per_epoch != self._spe:
+                self.tx = self._rebuild_tx(steps_per_epoch)
+                self._spe = steps_per_epoch
+                self._build_steps()
             return
+        self.tx = self._rebuild_tx(steps_per_epoch)
+        opt_state = self.tx.init(self._params0)
+        self.state = TrainState(params=self._params0,
+                                batch_stats=self._batch_stats0,
+                                opt_state=opt_state,
+                                step=jnp.zeros((), jnp.int32))
+        self._spe = steps_per_epoch
+        self._build_steps()
+
+    def _rebuild_tx(self, steps_per_epoch: int):
+        """Masked AdamW + cosine (schedule length = epochs*steps_per_epoch);
+        same optax state structure for any steps_per_epoch, so it can be
+        swapped under an existing opt_state when spe changes."""
         cfg = self.cfg
         schedule = optax.cosine_decay_schedule(
             cfg.lr, decay_steps=max(cfg.epochs * steps_per_epoch, 1))
@@ -142,14 +163,7 @@ class DecoderTrainer:
         def mask_fn(params):
             return jax.tree_util.tree_map_with_path(
                 lambda path, _: path[0].key != "yolo", params)
-        self.tx = optax.masked(tx, mask_fn)
-        opt_state = self.tx.init(self._params0)
-        self.state = TrainState(params=self._params0,
-                                batch_stats=self._batch_stats0,
-                                opt_state=opt_state,
-                                step=jnp.zeros((), jnp.int32))
-        self._spe = steps_per_epoch
-        self._build_steps()
+        return optax.masked(tx, mask_fn)
 
     def _build_steps(self):
         model = self.model

@@ -192,6 +192,7 @@ class DetectorTrainer:
         self.mesh = mesh
         self.state: Optional[DetTrainState] = None
         self._flat = None
+        self._spe: Optional[int] = None
         self._variables = variables
         self.history: Dict[str, list] = {"loss": [], "box": [], "cls": [],
                                          "dfl": [], "seg": [], "lr": []}
@@ -208,6 +209,19 @@ class DetectorTrainer:
 
     def ensure_ready(self, steps_per_epoch: int) -> None:
         if self.state is not None:
+            # schedules (warmup/cosine/EMA ramp) and the device-data epoch
+            # scan length are baked per steps_per_epoch: rebuild on mismatch
+            # instead of running a stale scan length (ADVICE r4). Optax state
+            # structure is spe-independent, so existing state carries over.
+            if steps_per_epoch != self._spe:
+                self.tx = self._make_tx(steps_per_epoch)
+                if self._flat is not None:
+                    from .flat_opt import make_flat_detector_opt
+                    self._flat = make_flat_detector_opt(
+                        self.cfg, steps_per_epoch,
+                        dict(self._variables["params"]))
+                self._spe = steps_per_epoch
+                self._build_step()
             return
         tx = self._make_tx(steps_per_epoch)
         self.tx = tx

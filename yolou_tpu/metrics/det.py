@@ -59,22 +59,36 @@ def match_predictions(pred_boxes: np.ndarray, pred_cls: np.ndarray,
     return tp
 
 
+def compute_ap(recall: np.ndarray, precision: np.ndarray) -> float:
+    """Ultralytics ``compute_ap``: precision envelope + 101-point COCO
+    interpolation with the ``recall[-1] + 0.01`` closing sentinel.
+
+    Pinned so that fitness (0.1*mAP50 + 0.9*mAP50-95), which selects
+    best.ckpt in the detector trainer, integrates AP exactly the way the
+    reference's inherited ultralytics validator does (VERDICT r4 #5).
+    Golden-pinned in tests/test_torch_golden.py::test_golden_compute_ap."""
+    mrec = np.concatenate(([0.0], recall, [recall[-1] + 0.01]))
+    mpre = np.concatenate(([1.0], precision, [0.0]))
+    mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
+    x = np.linspace(0, 1, 101)
+    return float(np.trapezoid(np.interp(x, mrec, mpre), x))
+
+
 def average_precision(tp: np.ndarray, conf: np.ndarray, n_gt: int) -> np.ndarray:
-    """AP per IoU threshold from TP flags (continuous PR-envelope integral)."""
+    """AP per IoU threshold from TP flags (ultralytics ap_per_class curves:
+    recall = tpc/(n_gt+eps), precision = tpc/(tpc+fpc), 101-point interp)."""
     if n_gt == 0 or len(tp) == 0:
         return np.zeros(tp.shape[1] if tp.ndim == 2 else len(IOUV))
     order = np.argsort(-conf)
     tp = tp[order]
+    eps = 1e-16
     aps = []
     for ti in range(tp.shape[1]):
-        tpc = np.cumsum(tp[:, ti])
-        fpc = np.cumsum(~tp[:, ti])
-        recall = tpc / n_gt
-        precision = tpc / np.maximum(tpc + fpc, 1e-9)
-        r = np.concatenate([[0.0], recall, [recall[-1] + 1e-3]])
-        p = np.concatenate([[1.0], precision, [0.0]])
-        p = np.flip(np.maximum.accumulate(np.flip(p)))
-        aps.append(min(float(np.trapezoid(p, r)), 1.0))
+        tpc = np.cumsum(tp[:, ti]).astype(np.float64)
+        fpc = np.cumsum(~tp[:, ti]).astype(np.float64)
+        recall = tpc / (n_gt + eps)
+        precision = tpc / (tpc + fpc)
+        aps.append(compute_ap(recall, precision))
     return np.asarray(aps)
 
 
