@@ -33,8 +33,11 @@ def test_param_tree_identical_across_paths(feats):
     assert _shapes(v_f) == _shapes(v_s) == _shapes(v_t)
 
 
-def test_fused_matches_staged_eval(feats):
-    fused = Segment(nc=1, nm=32, npr=64, fuse_entry=True)
+@pytest.mark.parametrize("pad_p5", [False, True])
+def test_fused_matches_staged_eval(feats, pad_p5):
+    # pad_p5=True exercises the probe-only lane-pad path (nn/heads.py):
+    # exact math is required even though the default is off
+    fused = Segment(nc=1, nm=32, npr=64, fuse_entry=True, pad_p5=pad_p5)
     staged = Segment(nc=1, nm=32, npr=64, fuse_entry=False)
     v = fused.init(jax.random.key(1), feats, train=False)
     # perturb BN stats so the folding is exercised with non-trivial values

@@ -133,6 +133,8 @@ class YOLOModel(nn.Module):
     use_pallas: bool = False
     stem_s2d: bool = False   # inference: input is space_to_depth(x, 4)
     fuse_cls_entry: bool = False  # see nn/heads.py Segment.fuse_cls_entry
+    pad_head_p5: bool = False     # probe-only, loses in-situ — see
+    #                               nn/heads.py Segment.pad_p5
     mega_kernel: bool = False  # A2C2f whole-block kernel — probe-only, loses
     #                            in-situ (tools/mega_probe.py; attention.py)
 
@@ -241,6 +243,7 @@ class YOLOModel(nn.Module):
                         spec.nc, spec.nm, spec.npr, spec.reg_max,
                         dtype=self.dtype, legacy=spec.legacy_head,
                         fuse_cls_entry=self.fuse_cls_entry,
+                        pad_p5=self.pad_head_p5,
                         name=f"model_{i}")(feats, train)
                     head_out = (tuple(raw), mc, protos)
                 else:
@@ -271,10 +274,12 @@ def build_yolo(arch: str = "yolov12", variant: str = "n", nc: int = 1, ch: int =
                use_pallas: bool = False,
                stem_s2d: bool = False,
                fuse_cls_entry: bool = False,
-               mega_kernel: bool = False) -> YOLOModel:
+               mega_kernel: bool = False,
+               pad_head_p5: bool = False) -> YOLOModel:
     return YOLOModel(spec=parse_model_spec(arch, variant, nc, ch, task),
                      dtype=dtype, use_pallas=use_pallas, stem_s2d=stem_s2d,
-                     fuse_cls_entry=fuse_cls_entry, mega_kernel=mega_kernel)
+                     fuse_cls_entry=fuse_cls_entry, mega_kernel=mega_kernel,
+                     pad_head_p5=pad_head_p5)
 
 
 def init_model(model: YOLOModel, rng: jax.Array, imgsz: int = 160, ch: int = 4,

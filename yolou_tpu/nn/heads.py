@@ -182,6 +182,17 @@ class Segment(nn.Module):
     # default OFF until measured on the chip (widens the entry GEMM N by the
     # level channel count in exchange for one less read of the feature).
     fuse_cls_entry: bool = False
+    # Pad the P5 box+coef stack (c2+c4, typically 96) to the 128 lane width
+    # with zero weight columns at eval — exact math (zero weights emit zero
+    # channels and SiLU(0)=0; real outputs are sliced back out). Measured
+    # (tools/head_pad_probe.py, HEAD_PAD.json): ISOLATED the 96-channel
+    # stack at 20² sits on a degenerate Mosaic tiling floor — 0.639 ms base
+    # vs 0.193 ms padded (3.3x) at b128/640 (80²/40² lose). IN-SITU the win
+    # does not survive: interleaved A/B on the full b128 predict surface
+    # (tools/headpad_insitu.py, HEADPAD_INSITU.json) has pad ON slower by
+    # 0.32 ms in every rep pair — the wider entry/mid outputs forfeit more
+    # epilogue fusion than the tiling fix saves. Default OFF.
+    pad_p5: bool = False
     legacy: bool = False      # see Detect.legacy
 
     @nn.compact
@@ -226,11 +237,20 @@ class Segment(nn.Module):
             cv4_0 = FoldedConvBN(x.shape[-1], c4, 3, name=f"cv4_{i}_0")()
             cv4_1 = FoldedConvBN(c4, c4, 3, name=f"cv4_{i}_1")()
             cv4_2 = ConvParams((1, 1, c4, self.nm), name=f"cv4_{i}_2")()
+            # lane-width pad at the last level only (see pad_p5 docstring)
+            pad = 0
+            if (self.pad_p5 and i == len(feats) - 1
+                    and not self.fuse_cls_entry and c2 + c4 < 128):
+                pad = 128 - (c2 + c4)
             parts = [det_folds[i]["entry"], cv4_0]
             if self.fuse_cls_entry:
                 parts.append(det_folds[i]["cls_entry"])
             if i == 0:
                 parts.append(proto_entry)
+            if pad:
+                parts.append((jnp.zeros((3, 3, x.shape[-1], pad),
+                                        jnp.float32),
+                              jnp.zeros((pad,), jnp.float32)))
             y0 = _fused_conv3x3(x, parts, self.dtype)  # [c2|c4|(cls)|(npr)]
             off = c2 + c4
             if self.fuse_cls_entry:
@@ -239,12 +259,23 @@ class Segment(nn.Module):
                 off += ccls
             if i == 0:
                 proto_first = y0[..., off:]
-            y1 = _blockdiag_conv(y0[..., :c2 + c4],
-                                 [det_folds[i]["mid"], cv4_1], 3, self.dtype)
-            y2 = _blockdiag_conv(y1, [det_folds[i]["fin"], cv4_2], 1,
-                                 self.dtype, act=False)
+            if pad:
+                zmid = (jnp.zeros((3, 3, pad, pad), jnp.float32),
+                        jnp.zeros((pad,), jnp.float32))
+                zfin = (jnp.zeros((1, 1, pad, pad), jnp.float32),
+                        jnp.zeros((pad,), jnp.float32))
+                y1 = _blockdiag_conv(y0, [det_folds[i]["mid"], cv4_1, zmid],
+                                     3, self.dtype)
+                y2 = _blockdiag_conv(y1, [det_folds[i]["fin"], cv4_2, zfin],
+                                     1, self.dtype, act=False)
+            else:
+                y1 = _blockdiag_conv(y0[..., :c2 + c4],
+                                     [det_folds[i]["mid"], cv4_1], 3,
+                                     self.dtype)
+                y2 = _blockdiag_conv(y1, [det_folds[i]["fin"], cv4_2], 1,
+                                     self.dtype, act=False)
             box_outs.append(y2[..., :4 * self.reg_max])
-            m = y2[..., 4 * self.reg_max:]
+            m = y2[..., 4 * self.reg_max:4 * self.reg_max + self.nm]
             coefs.append(m.reshape(m.shape[0], -1, self.nm))
         protos = proto(feats[0], train, first=proto_first)
         raw = detect(feats, train, phase="cls_with_box", first=box_outs,
