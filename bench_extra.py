@@ -121,7 +121,12 @@ def main(only: str = ""):
         dcfg = DecoderTrainConfig(image_size=160, batch_size=128, epochs=3,
                                   val_hd95=False, early_stopping=False,
                                   run_dir="/tmp/bench_runs_dec")
-        dtr = DecoderTrainer(segpp, sv, root, dcfg)
+        # host-copy the variables: the donated _train_step below deletes the
+        # state's param buffers, and dtr.state aliases whatever device arrays
+        # it was constructed from — passing `sv` directly would delete the
+        # e2e surface's params (and dtr2's) out from under them
+        sv_host = jax.device_get(sv)
+        dtr = DecoderTrainer(segpp, sv_host, root, dcfg)
         dtr.ensure_ready(steps_per_epoch=4)
         imgs_u8 = jnp.asarray(rng.integers(0, 255, (128, 160, 160, 4)),
                               jnp.uint8)
@@ -134,7 +139,7 @@ def main(only: str = ""):
         out["decoder_train_ips_b128_160"] = 128 / t
         out["decoder_train_step_ms"] = t * 1e3
 
-        dtr2 = DecoderTrainer(segpp, sv, root, dcfg)
+        dtr2 = DecoderTrainer(segpp, sv_host, root, dcfg)
         dtr2.train()
         e2e_s = min(dtr2.epoch_times[1:])    # epoch 0 pays compile + decode
         n_imgs = 512

@@ -108,6 +108,9 @@ class DecoderTrainer:
     def __init__(self, model: YOLOSegPP, variables: Dict, data_root: str,
                  cfg: DecoderTrainConfig = DecoderTrainConfig(),
                  mesh=None):
+        # `variables` leaves are referenced, not copied, and the jitted train
+        # step donates its state: pass host arrays (jax.device_get) if the
+        # same tree is used elsewhere, or its device buffers get deleted.
         self.model = model
         self.cfg = cfg
         self.data_root = data_root

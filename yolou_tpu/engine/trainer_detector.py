@@ -184,6 +184,9 @@ class DetectorTrainer:
                  cfg: DetectorTrainConfig = DetectorTrainConfig(),
                  aug: AugHyp = AugHyp(), loss_hyp: LossHyp = LossHyp(),
                  mesh=None):
+        # `variables` leaves are referenced, not copied, and the jitted train
+        # step donates its state: pass host arrays (jax.device_get) if the
+        # same tree is used elsewhere, or its device buffers get deleted.
         self.model = model
         self.cfg = cfg
         self.aug = aug
