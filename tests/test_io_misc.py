@@ -143,6 +143,58 @@ def test_decoder_trainer_resume_via_train(tmp_path):
     assert int(tr2.state.step) == 6
 
 
+def test_decoder_frozen_encoder_bit_exact(tmp_path):
+    """The decoder trainer must leave the 'yolo' (encoder) subtree BIT-exact
+    after real optimizer steps. Pins a load-bearing invariant end-to-end:
+    optax.masked passes unmasked leaves' updates through UNCHANGED (raw
+    grads would be ADDED to the encoder by apply_updates), which is safe
+    only because the model stop-gradients every encoder output
+    (segpp.py:93-98) making grads['yolo'] structural zeros. test_segpp pins
+    the grad norms; this pins the full step (update + apply + weight decay)."""
+    from yolou_tpu.engine.trainer_decoder import (DecoderTrainConfig,
+                                                  DecoderTrainer)
+    from yolou_tpu.models.segpp import YOLOSegPP
+    from yolou_tpu.models.yolo import parse_model_spec
+
+    spec = parse_model_spec("yolov12", "n", nc=1, ch=4, task="detect")
+    model = YOLOSegPP(spec=spec)
+    v = jax.device_get(jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.key(0), jnp.zeros((1, 96, 96, 4))))
+    tr = DecoderTrainer(model, v, str(tmp_path),
+                        DecoderTrainConfig(image_size=96, batch_size=2,
+                                           epochs=2,
+                                           run_dir=str(tmp_path / "runs")))
+    tr.ensure_ready(steps_per_epoch=1)
+    yolo0 = jax.tree_util.tree_map(np.array, tr.state.params["yolo"])
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.integers(0, 255, (2, 96, 96, 4)), jnp.uint8)
+    mask = jnp.asarray((rng.random((2, 96, 96, 1)) > 0.6) * 255, jnp.uint8)
+    om = jnp.asarray(rng.standard_normal((2, 12, 12, 1)), jnp.float32)
+    state = tr.state
+    for _ in range(3):
+        state, loss, _ = tr._train_step(state, img, mask, om)
+    assert np.isfinite(float(loss))
+    yolo1 = jax.device_get(state.params["yolo"])
+    flat0 = jax.tree_util.tree_leaves_with_path(yolo0)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(yolo1))
+    changed = sum(float(np.mean(np.abs(np.asarray(l1) - np.asarray(l0))))
+                  for p, l0 in flat0 for l1 in (flat1[p],))
+    # decoder params MUST move (the step is real) ...
+    dec0 = {k: sub for k, sub in tr._params0.items() if k != "yolo"}
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(dec0),
+                        jax.tree_util.tree_leaves(
+                            {k: s for k, s in
+                             jax.device_get(state.params).items()
+                             if k != "yolo"})))
+    assert moved
+    # ... and the encoder must not, bitwise
+    assert changed == 0.0
+    for p, l0 in flat0:
+        np.testing.assert_array_equal(np.asarray(flat1[p]), np.asarray(l0))
+
+
 def test_decoder_device_data_trajectory_equivalence(tmp_path):
     """device_data=True keeps the train/val sets in HBM and gathers batches
     on device; composition matches the host-upload path exactly (same

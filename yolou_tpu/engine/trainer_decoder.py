@@ -162,7 +162,13 @@ class DecoderTrainer:
         tx = optax.adamw(learning_rate=schedule, weight_decay=cfg.weight_decay)
         if cfg.clip_grad_norm is not None:
             tx = optax.chain(optax.clip_by_global_norm(cfg.clip_grad_norm), tx)
-        # mask: only decoder/output params train; 'yolo' subtree frozen
+        # mask: only decoder/output params train; 'yolo' subtree frozen.
+        # LOAD-BEARING INVARIANT: optax.masked passes unmasked leaves'
+        # updates through UNCHANGED — apply_updates would ADD raw encoder
+        # grads to the encoder params. This is safe ONLY because the model
+        # stop-gradients every encoder output (segpp.py SKIP_TAPS + logit
+        # map), making grads['yolo'] structural zeros. Pinned end-to-end by
+        # test_io_misc.py::test_decoder_frozen_encoder_bit_exact.
         def mask_fn(params):
             return jax.tree_util.tree_map_with_path(
                 lambda path, _: path[0].key != "yolo", params)
