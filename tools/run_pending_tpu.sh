@@ -29,6 +29,9 @@ timeout 3600 python -m yolou_tpu.tools.profile_layers --batch 128 --imgsz 640 \
 timeout 3600 python tools/train_bisect.py --batch 32 --imgsz 160 \
     --dtype bfloat16 --out TRAIN_BISECT.json > /tmp/train_bisect.log 2>&1
 
+# 7. decoder train-step bisection (r5: cast/fwd/bwd/opt attribution)
+timeout 3600 python tools/dectrain_bisect.py > /tmp/dectrain_bisect.log 2>&1
+
 tail -5 /tmp/bench_extra.log /tmp/headfuse.log /tmp/a2c2f_early.log \
     /tmp/profile.log /tmp/train_bisect.log
 echo DONE
